@@ -1,0 +1,112 @@
+"""Typed config tree — the TPU-era replacement for the reference's giant
+versioned `TRX` settings struct + system menu + per-band tables
+(SURVEY.md §2.2 #16–18: `[U:settings.c, system_menu.c, bands.c]`).
+
+Configs are frozen dataclasses (hashable -> usable as jit static args).
+Runtime-tunable quantities (per-channel frequency, mode, squelch level) are
+NOT here — they are device arrays fed to the step function so retuning never
+recompiles (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CicStage:
+    """CIC decimator stage (FIR-equivalent block semantics)."""
+
+    R: int
+    N: int = 4
+    M: int = 1
+
+
+@dataclass(frozen=True)
+class FirStage:
+    """FIR decimation stage; compensates preceding CIC droop if any."""
+
+    R: int
+    numtaps: int = 129
+    passband_hz: float = 4000.0
+    stopband_hz: float | None = None  # default: 0.45 * fs_out
+
+
+@dataclass(frozen=True)
+class AgcConfig:
+    release_s: float = 0.5
+    target: float = 0.5
+    max_gain: float = 1e4
+
+
+@dataclass(frozen=True)
+class ModeFilters:
+    """Per-mode channel filter bandwidths at audio rate (Hz)."""
+
+    ssb_lo: float = 300.0
+    ssb_hi: float = 2700.0
+    cw_halfwidth: float = 250.0
+    am_halfwidth: float = 5000.0
+    nfm_halfwidth: float = 8000.0
+    numtaps: int = 257
+
+
+@dataclass(frozen=True)
+class RxConfig:
+    """One RX signal chain: fs_in IQ -> decimation stages -> audio."""
+
+    fs_in: float = 192_000.0
+    channels: int = 1
+    stages: tuple = (CicStage(R=2, N=4), FirStage(R=2))
+    mode_filters: ModeFilters = field(default_factory=ModeFilters)
+    agc: AgcConfig = field(default_factory=AgcConfig)
+    cw_tone_hz: float = 600.0
+    nfm_deviation_hz: float = 2500.0
+    ols_hop: int = 512
+    spectrum_nfft: int = 1024
+    spectrum_avg: float = 0.0
+    emit_spectrum: bool = False
+
+    @property
+    def decim(self) -> int:
+        r = 1
+        for s in self.stages:
+            r *= s.R
+        return r
+
+    @property
+    def fs_audio(self) -> float:
+        return self.fs_in / self.decim
+
+
+@dataclass(frozen=True)
+class TxConfig:
+    """DUC transmit chain: audio -> modulator -> interpolation -> fs_out IQ."""
+
+    fs_out: float = 192_000.0
+    fs_audio: float = 48_000.0
+    channels: int = 1
+    interp_stages: tuple = (2, 2)  # interpolation factors (FIR per stage)
+    numtaps_per_stage: int = 65
+    mode_filters: ModeFilters = field(default_factory=ModeFilters)
+    am_depth: float = 0.9
+    nfm_deviation_hz: float = 2500.0
+
+    @property
+    def interp(self) -> int:
+        r = 1
+        for L in self.interp_stages:
+            r *= L
+        return r
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes for sharded runs (SURVEY.md §2.3)."""
+
+    channel: int = 1
+    time: int = 1
+
+    @property
+    def num_devices(self) -> int:
+        return self.channel * self.time

@@ -1,0 +1,95 @@
+"""Demodulators (SSB/CW/AM/NFM) + DC blocker, batched over channels.
+
+Reference analog: the mode switch inside `[U:audio_processor.c]`
+(SURVEY.md §2.1 #9). TPU-native shape: all demods are elementwise/scan ops on
+(C, T) blocks; the *demod bank* evaluates all modes and selects per channel
+with a mask (dense compute, EP-analog routing — SURVEY.md §2.3), so one jitted
+program serves mixed-mode channel populations with no control flow.
+
+Per-sample recursions (DC blocker, NFM de-emphasis) use the affine
+associative scan from ops/scans.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from radioframe.ops import nco
+from radioframe.ops.scans import affine_scan
+
+# mode codes (used as per-channel selector in the bank)
+SSB, CW, AM, NFM = 0, 1, 2, 3
+MODE_NAMES = {"ssb": SSB, "cw": CW, "am": AM, "nfm": NFM}
+
+
+# --- DC blocker ------------------------------------------------------------
+
+
+def dc_block_init(num_channels: int):
+    # state: (x_prev, y_prev) per channel
+    return jnp.zeros((2, num_channels), dtype=jnp.float32)
+
+
+def dc_block(state, x, pole: float = 0.995):
+    """y[n] = x[n] - x[n-1] + pole*y[n-1] on (C, T) real blocks."""
+    xprev = jnp.concatenate([state[0][:, None], x[:, :-1]], axis=-1)
+    b = x - xprev
+    a = jnp.full_like(x, jnp.float32(pole))
+    y = affine_scan(a, b, state[1])
+    new_state = jnp.stack([x[:, -1], y[:, -1]])
+    return y, new_state
+
+
+# --- individual demods -----------------------------------------------------
+
+
+def demod_ssb(x):
+    return 2.0 * jnp.real(x)
+
+
+def demod_cw(phase_acc, x, tone_word):
+    """Beat-tone shift via the DDS NCO (mix *up* by tone_hz); returns (y, acc)."""
+    y, acc = nco.mix_up(x, tone_word, phase_acc)
+    return 2.0 * jnp.real(y), acc
+
+
+def demod_am(dc_state, x, pole: float = 0.995):
+    env = jnp.abs(x).astype(jnp.float32)
+    return dc_block(dc_state, env, pole)
+
+
+def demod_nfm(last, x, fs: float, deviation_hz: float):
+    """y[n] = angle(x[n] conj(x[n-1])) * fs/(2π·dev); state = previous sample."""
+    xprev = jnp.concatenate([last[:, None], x[:, :-1]], axis=-1)
+    d = x * jnp.conj(xprev)
+    y = jnp.arctan2(jnp.imag(d), jnp.real(d)) * jnp.float32(fs / (2.0 * np.pi * deviation_hz))
+    return y, x[:, -1]
+
+
+# --- demod bank ------------------------------------------------------------
+
+
+def bank_init(num_channels: int):
+    return {
+        "cw_phase": nco.init_state(num_channels),
+        "am_dc": dc_block_init(num_channels),
+        "nfm_last": jnp.ones((num_channels,), dtype=jnp.complex64),
+    }
+
+
+def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float = 2500.0):
+    """Run all four demods, select per channel by ``mode`` (C,) int32.
+
+    Four modes are cheap relative to the DDC front end; dense evaluation + mask
+    keeps the program static-shape and branch-free (SURVEY.md §2.3 mode-bank
+    routing). Returns (audio (C, T) float32, new_state).
+    """
+    y_ssb = demod_ssb(x)
+    y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
+    y_am, am_dc = demod_am(state["am_dc"], x)
+    y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
+    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])  # (4, C, T)
+    sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+    new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last}
+    return sel.astype(jnp.float32), new_state

@@ -1,0 +1,54 @@
+"""Panorama FFT / waterfall (SURVEY.md §2.1 #11, reference `[U:fft.c]`).
+
+Batched windowed FFT -> shifted magnitude (dB) -> EMA averaging across
+frames; waterfall is just the stacked frame output (BASELINE.json config 5).
+State = previous EMA line per channel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from radioframe.ops.scans import affine_scan
+
+
+class Spectrum:
+    def __init__(self, nfft: int = 1024, avg: float = 0.0, window: str = "hann"):
+        self.nfft = int(nfft)
+        self.avg = float(avg)
+        w = np.hanning(self.nfft) if window == "hann" else np.ones(self.nfft)
+        self._w = (w / np.sqrt(np.mean(w**2))).astype(np.float32)
+
+    def init_state(self, num_channels: int):
+        return jnp.full((num_channels, self.nfft), -120.0, dtype=jnp.float32)
+
+    def __call__(self, prev, x):
+        """(prev (C, nfft), x (C, T)) -> (lines (C, F, nfft) dB, new_prev)."""
+        C, T = x.shape
+        F = T // self.nfft
+        xs = x[:, : F * self.nfft].reshape(C, F, self.nfft) * jnp.asarray(self._w)
+        mag2 = jnp.abs(jnp.fft.fftshift(jnp.fft.fft(xs, axis=-1), axes=-1)) ** 2
+        db = 10.0 * jnp.log10(jnp.maximum(mag2, 1e-24)).astype(jnp.float32)
+        if self.avg > 0.0:
+            # EMA across frames: line[f] = a*line[f-1] + (1-a)*db[f] — an
+            # affine scan along the frame axis (move frames to last axis)
+            a = jnp.full((C, self.nfft, F), jnp.float32(self.avg))
+            b = (1.0 - self.avg) * jnp.moveaxis(db, 1, -1)
+            lines = affine_scan(a, b, prev)  # prev as s0 per (C, nfft)
+            lines = jnp.moveaxis(lines, -1, 1)
+            new_prev = lines[:, -1, :] if F else prev
+            return lines, new_prev
+        return db, (db[:, -1, :] if F else prev)
+
+
+def snap_to_peak(spectrum_db, fs: float, search_hz: float, nfft: int):
+    """Auto frequency snap (reference `[U:snap.c]`, SURVEY.md §2.2 #25):
+    argmax of the averaged spectrum within ±search_hz of center -> Hz offset."""
+    C, N = spectrum_db.shape
+    freqs = (jnp.arange(N) - N // 2) * (fs / N)
+    mask = jnp.abs(freqs) <= search_hz
+    masked = jnp.where(mask[None, :], spectrum_db, -jnp.inf)
+    idx = jnp.argmax(masked, axis=-1)
+    return freqs[idx]

@@ -1,0 +1,133 @@
+"""RxChain — the jit-compiled receive block program (SURVEY.md §3.2).
+
+Reference analog: the RX half of `[U:audio_processor.c]` driving
+NCO -> CIC -> comp FIR -> channel filter -> AGC -> demod per ISR block.
+TPU-native shape: one traced SPMD program per block,
+
+    (state, iq (C, T), freq_words (C,), mode (C,)) -> (state, audio, aux)
+
+with all per-sample recursions as scans, the mode filters as one OLS FFT
+bank, and the demod bank dense+masked. Per-channel frequency and mode are
+runtime inputs — retuning never recompiles (SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from radioframe.core.config import CicStage, FirStage, RxConfig
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.ops import filter_design as FD
+from radioframe.ops import nco
+from radioframe.ops.fir import FirDecimator, cic_decimator
+from radioframe.ops.ols import OverlapSaveBank
+from radioframe.ops.spectrum import Spectrum
+
+
+class RxChain:
+    """Builds ops/taps from an RxConfig; ``step`` is pure and jittable."""
+
+    def __init__(self, cfg: RxConfig):
+        self.cfg = cfg
+        self.decimators = []
+        fs = cfg.fs_in
+        prev_cic: CicStage | None = None
+        for st in cfg.stages:
+            if isinstance(st, CicStage):
+                self.decimators.append(cic_decimator(st.R, st.N, st.M))
+                prev_cic = st
+                fs /= st.R
+            elif isinstance(st, FirStage):
+                stop = st.stopband_hz if st.stopband_hz is not None else 0.45 * fs / st.R
+                if prev_cic is not None:
+                    taps = FD.compensated_decim_taps(
+                        st.numtaps, fs, st.passband_hz, stop,
+                        cic_R=prev_cic.R, cic_N=prev_cic.N, cic_M=prev_cic.M,
+                        cic_input_fs=fs * prev_cic.R,
+                    )
+                else:
+                    taps = FD.lowpass_taps(st.numtaps, min(st.passband_hz, stop), fs)
+                self.decimators.append(FirDecimator(taps, st.R))
+                prev_cic = None
+                fs /= st.R
+            else:
+                raise TypeError(f"unknown stage {st!r}")
+        assert abs(fs - cfg.fs_audio) < 1e-6
+        mf = cfg.mode_filters
+        fa = cfg.fs_audio
+        self.mode_bank = OverlapSaveBank(
+            [
+                FD.complex_bandpass_taps(mf.numtaps, mf.ssb_lo, mf.ssb_hi, fa),
+                FD.complex_bandpass_taps(mf.numtaps, -mf.cw_halfwidth, mf.cw_halfwidth, fa),
+                FD.complex_bandpass_taps(mf.numtaps, -mf.am_halfwidth, mf.am_halfwidth, fa),
+                FD.complex_bandpass_taps(mf.numtaps, -mf.nfm_halfwidth, mf.nfm_halfwidth, fa),
+            ],
+            hop=cfg.ols_hop,
+        )
+        self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
+        self.agc_decay = agc_op.release_decay(cfg.agc.release_s, fa)
+        self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, fa))
+        # minimum input block: every stage's constraint pulled back to fs_in
+        r = 1
+        lcm = 1
+        for st, dec in zip(cfg.stages, self.decimators):
+            lcm = np.lcm(lcm, r * dec.R)
+            r *= dec.R
+        lcm = int(np.lcm(lcm, r * self.mode_bank.hop))
+        lcm = int(np.lcm(lcm, r * cfg.spectrum_nfft)) if cfg.emit_spectrum else lcm
+        self.min_block = lcm
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, num_channels: int | None = None):
+        C = self.cfg.channels if num_channels is None else num_channels
+        return {
+            "nco": nco.init_state(C),
+            "decim": tuple(d.init_state(C) for d in self.decimators),
+            "bpf": self.mode_bank.init_state(C),
+            "demod": demod_op.bank_init(C),
+            "agc": agc_op.init_state(C),
+            "spec": self.spectrum.init_state(C),
+        }
+
+    # -- the block program ---------------------------------------------------
+
+    def step(self, state, iq, freq_words, mode):
+        """(state, iq (C,T) c64, freq_words (C,) i32, mode (C,) i32)
+        -> (state, audio (C, T/decim) f32, aux dict)."""
+        cfg = self.cfg
+        assert iq.shape[-1] % self.min_block == 0, (
+            f"block length {iq.shape[-1]} must be a multiple of {self.min_block}")
+        x, nco_acc = nco.mix_down(iq, freq_words, state["nco"])
+        tails = []
+        for d, tail in zip(self.decimators, state["decim"]):
+            x, t = d(tail, x)
+            tails.append(t)
+        filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (4, C, Ta)
+        sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        cw_word = jnp.full(iq.shape[0], self.cw_tone_word, jnp.int32)
+        audio, demod_state = demod_op.bank_apply(
+            state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
+        # AGC on SSB/CW/AM; FM audio is amplitude-invariant (deviation-scaled)
+        # and AGC would only pump on warm-up transients — the reference
+        # likewise runs AGC only outside FM mode.
+        agc_audio, agc_env, agc_gain = agc_op.apply(
+            state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+        aux = {"agc_gain_last": agc_gain[:, -1], "power_in": jnp.mean(jnp.abs(iq) ** 2, axis=-1)}
+        if cfg.emit_spectrum:
+            lines, spec_prev = self.spectrum(state["spec"], x)
+            aux["spectrum"] = lines
+        else:
+            spec_prev = state["spec"]
+        new_state = {
+            "nco": nco_acc,
+            "decim": tuple(tails),
+            "bpf": bpf_tail,
+            "demod": demod_state,
+            "agc": agc_env,
+            "spec": spec_prev,
+        }
+        return new_state, audio, aux

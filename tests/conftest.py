@@ -7,10 +7,15 @@ suite on real TPU devices instead (kernel tests then compile for real).
 import os
 
 if not os.environ.get("RADIOFRAME_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # The image's sitecustomize pre-imports jax with JAX_PLATFORMS=axon baked
+    # in, so plain env vars are too late here — use jax.config directly.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

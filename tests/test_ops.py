@@ -1,0 +1,193 @@
+"""JAX ops vs the A0 golden model (SURVEY.md §4.2 #1): near-fp32 tolerance,
+plus block-split/state-handoff invariance for every stateful op."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radioframe.golden import model as G
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.ops import filter_design as FD
+from radioframe.ops import nco
+from radioframe.ops.fir import FirDecimator, cic_decimator
+from radioframe.ops.ols import OverlapSave
+from radioframe.ops.scans import affine_scan, maxdecay_scan
+
+
+def _iq(rng, C, T):
+    return (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+
+
+class TestNCO:
+    def test_matches_golden_at_quantized_freq(self, rng):
+        fs = 192000.0
+        x = _iq(rng, 3, 4096)
+        freqs = np.array([37000.0, -15000.0, 123.456])
+        words = nco.freq_word(freqs, fs)
+        fq = nco.word_to_freq(words, fs)  # golden runs at the quantized freqs
+        y, _ = jax.jit(nco.mix_down)(jnp.asarray(x), jnp.asarray(words), nco.init_state(3))
+        for c in range(3):
+            ref, _ = G.nco_mix(x[c], fq[c], fs)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=2e-5)
+
+    def test_phase_continuity_exact(self, rng):
+        fs = 48000.0
+        x = _iq(rng, 1, 2048)
+        w = jnp.asarray(nco.freq_word(1234.5, fs))[None]
+        acc = nco.init_state(1)
+        y1, acc1 = nco.mix_down(jnp.asarray(x[:, :1000]), w, acc)
+        y2, _ = nco.mix_down(jnp.asarray(x[:, 1000:]), w, acc1)
+        whole, _ = nco.mix_down(jnp.asarray(x), w, acc)
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+        np.testing.assert_array_equal(got[:, 1000:], np.asarray(whole)[:, 1000:])
+
+    def test_long_stream_no_phase_drift(self, rng):
+        # 100 blocks of 4096: int32 accumulator keeps phase exact vs float64
+        fs = 192000.0
+        w = nco.freq_word(37000.0, fs)
+        acc = nco.init_state(1)
+        ones = jnp.ones((1, 4096), jnp.complex64)
+        step = jax.jit(nco.mix_down)
+        for _ in range(100):
+            y, acc = step(ones, jnp.asarray(w)[None], acc)
+        n_last = 100 * 4096 - 1
+        expected = np.exp(-1j * 2 * np.pi * (nco.word_to_freq(w, fs) / fs) * n_last)
+        got = np.asarray(y)[0, -1]
+        assert abs(got - expected) < 1e-4
+
+
+class TestFIR:
+    @pytest.mark.parametrize("R", [1, 2, 4])
+    def test_real_taps_vs_golden(self, rng, R):
+        taps = FD.lowpass_taps(63, 0.2, 1.0)
+        op = FirDecimator(taps, R)
+        x = _iq(rng, 4, 512)
+        y, _ = jax.jit(op)(op.init_state(4), jnp.asarray(x))
+        for c in range(4):
+            ref, _ = G.fir_decimate(x[c].astype(np.complex128), taps, R)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+
+    def test_complex_taps_vs_golden(self, rng):
+        taps = FD.complex_bandpass_taps(101, 300.0, 2700.0, 48000.0)
+        op = FirDecimator(taps, 2)
+        x = _iq(rng, 2, 600)
+        y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+        for c in range(2):
+            ref, _ = G.fir_decimate(x[c].astype(np.complex128), taps, 2)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+
+    def test_streaming_state_handoff(self, rng):
+        taps = FD.lowpass_taps(63, 0.2, 1.0)
+        op = FirDecimator(taps, 4)
+        x = _iq(rng, 2, 1024)
+        whole, _ = op(op.init_state(2), jnp.asarray(x))
+        st = op.init_state(2)
+        outs = []
+        for blk in np.split(x, 4, axis=-1):
+            y, st = op(st, jnp.asarray(blk))
+            outs.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1), np.asarray(whole), atol=1e-6)
+
+    def test_cic_vs_golden(self, rng):
+        op = cic_decimator(8, 4)
+        x = _iq(rng, 2, 1024)
+        y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+        for c in range(2):
+            ref, _ = G.cic_decimate(x[c].astype(np.complex128), 8, 4)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+
+
+class TestScans:
+    def test_affine_scan_matches_loop(self, rng):
+        a = rng.uniform(0.5, 1.0, (3, 200)).astype(np.float32)
+        b = rng.standard_normal((3, 200)).astype(np.float32)
+        s0 = rng.standard_normal(3).astype(np.float32)
+        got = np.asarray(affine_scan(jnp.asarray(a), jnp.asarray(b), jnp.asarray(s0)))
+        for c in range(3):
+            s = s0[c]
+            for n in range(200):
+                s = a[c, n] * s + b[c, n]
+                assert abs(got[c, n] - s) < 1e-4
+
+    def test_maxdecay_scan_matches_loop(self, rng):
+        a = np.full((2, 300), 0.99, np.float32)
+        v = np.abs(rng.standard_normal((2, 300))).astype(np.float32)
+        s0 = np.array([0.0, 5.0], np.float32)
+        got = np.asarray(maxdecay_scan(jnp.asarray(a), jnp.asarray(v), jnp.asarray(s0)))
+        for c in range(2):
+            s = s0[c]
+            for n in range(300):
+                s = max(0.99 * s, v[c, n])
+                np.testing.assert_allclose(got[c, n], s, rtol=1e-5)
+
+
+class TestAGC:
+    def test_vs_golden(self, rng):
+        x = _iq(rng, 2, 500) * np.exp(np.sin(np.arange(500) / 40.0))[None, :]
+        y, env, _ = jax.jit(lambda e, x: agc_op.apply(e, x, 0.999))(agc_op.init_state(2), jnp.asarray(x))
+        for c in range(2):
+            ref, env_ref, _ = G.agc(x[c].astype(np.complex128), 0.999)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(env)[c], env_ref, rtol=1e-4)
+
+    def test_state_handoff(self, rng):
+        x = _iq(rng, 1, 400)
+        whole, _, _ = agc_op.apply(agc_op.init_state(1), jnp.asarray(x), 0.995)
+        y1, e1, _ = agc_op.apply(agc_op.init_state(1), jnp.asarray(x[:, :150]), 0.995)
+        y2, _, _ = agc_op.apply(e1, jnp.asarray(x[:, 150:]), 0.995)
+        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
+        np.testing.assert_allclose(got, np.asarray(whole), rtol=2e-4, atol=2e-5)
+
+
+class TestOLS:
+    def test_vs_golden_real_and_complex_taps(self, rng):
+        for taps in (FD.lowpass_taps(129, 3000.0, 48000.0),
+                     FD.complex_bandpass_taps(257, 300.0, 2700.0, 48000.0)):
+            op = OverlapSave(taps, hop=512)
+            T = op.hop * 4
+            x = _iq(rng, 2, T)
+            y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+            for c in range(2):
+                ref, _ = G.ols_filter(x[c].astype(np.complex128), taps)
+                np.testing.assert_allclose(np.asarray(y)[c], ref, atol=3e-4)
+
+    def test_streaming(self, rng):
+        taps = FD.lowpass_taps(129, 3000.0, 48000.0)
+        op = OverlapSave(taps, hop=256)
+        x = _iq(rng, 1, 1024)
+        whole, _ = op(op.init_state(1), jnp.asarray(x))
+        st = op.init_state(1)
+        outs = []
+        for blk in np.split(x, 4, axis=-1):
+            y, st = op(st, jnp.asarray(blk))
+            outs.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1), np.asarray(whole), atol=1e-5)
+
+
+class TestDemod:
+    def test_dc_block_vs_golden(self, rng):
+        x = (rng.standard_normal((2, 300)) + 0.5).astype(np.float32)
+        y, _ = demod_op.dc_block(demod_op.dc_block_init(2), jnp.asarray(x))
+        for c in range(2):
+            ref, _ = G.dc_block(x[c].astype(np.float64))
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-4)
+
+    def test_nfm_vs_golden(self, rng):
+        x = np.exp(1j * np.cumsum(rng.standard_normal((2, 400)) * 0.1, axis=-1)).astype(np.complex64)
+        y, _ = demod_op.demod_nfm(jnp.ones(2, jnp.complex64), jnp.asarray(x), 48000.0, 2500.0)
+        for c in range(2):
+            ref, _ = G.demod_nfm(x[c].astype(np.complex128), 48000.0, 2500.0)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-3)
+
+    def test_bank_selects_per_channel(self, rng):
+        x = _iq(rng, 4, 256)
+        mode = jnp.asarray([demod_op.SSB, demod_op.CW, demod_op.AM, demod_op.NFM], jnp.int32)
+        tone = jnp.asarray(np.broadcast_to(nco.freq_word(600.0, 48000.0), (4,)).copy())
+        st = demod_op.bank_init(4)
+        y, _ = jax.jit(lambda s, x: demod_op.bank_apply(s, x, mode, tone, 48000.0))(st, jnp.asarray(x))
+        # channel 0 must equal pure SSB demod; channel 3 pure NFM
+        np.testing.assert_allclose(np.asarray(y)[0], 2 * np.real(x[0]), atol=1e-5)
+        ref_nfm, _ = G.demod_nfm(x[3].astype(np.complex128), 48000.0, 2500.0)
+        np.testing.assert_allclose(np.asarray(y)[3], ref_nfm, atol=1e-3)

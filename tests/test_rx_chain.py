@@ -1,0 +1,138 @@
+"""Acceptance configs 1 & 2 (BASELINE.json):
+  1. single-channel SSB RX 192 kHz -> 48 kHz audio, fp32
+  2. multi-mode demod bank (SSB/CW/AM/NFM) with OLS FFT filtering
+scored by audio SNR vs truth, and vs an identically-composed golden chain
+(<= 1 dB SNR delta)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radioframe.core.config import RxConfig
+from radioframe.diag.metrics import audio_snr_db
+from radioframe.golden import model as G
+from radioframe.io import fixtures as FX
+from radioframe.ops import demod as demod_op
+from radioframe.ops import filter_design as FD
+from radioframe.ops import nco
+from radioframe.pipelines.rx_chain import RxChain
+
+FS = 192_000.0
+
+
+def golden_chain(chain: RxChain, iq, freq_hz, mode_name):
+    """Golden-op composition mirroring RxChain.step exactly (fp64)."""
+    cfg = chain.cfg
+    word = nco.freq_word(freq_hz, cfg.fs_in)
+    fq = nco.word_to_freq(word, cfg.fs_in)
+    x, _ = G.nco_mix(iq.astype(np.complex128), fq, cfg.fs_in)
+    fs = cfg.fs_in
+    for dec in chain.decimators:
+        taps = (dec._rhs[0, 0] + 1j * dec._rhs[1, 0]) if dec.complex_taps else dec._rhs[0, 0]
+        taps = np.asarray(taps)[::-1]
+        x, _ = G.fir_decimate(x, taps, dec.R)
+        fs /= dec.R
+    mf = cfg.mode_filters
+    k = demod_op.MODE_NAMES[mode_name]
+    taps_k = [
+        FD.complex_bandpass_taps(mf.numtaps, mf.ssb_lo, mf.ssb_hi, fs),
+        FD.complex_bandpass_taps(mf.numtaps, -mf.cw_halfwidth, mf.cw_halfwidth, fs),
+        FD.complex_bandpass_taps(mf.numtaps, -mf.am_halfwidth, mf.am_halfwidth, fs),
+        FD.complex_bandpass_taps(mf.numtaps, -mf.nfm_halfwidth, mf.nfm_halfwidth, fs),
+    ][k]
+    x, _ = G.ols_filter(x, taps_k)
+    if mode_name == "ssb":
+        audio = G.demod_ssb(x)
+    elif mode_name == "cw":
+        tone_q = nco.word_to_freq(chain.cw_tone_word, fs)
+        audio, _ = G.demod_cw(x, tone_q, fs)  # both mix up by +tone
+    elif mode_name == "am":
+        audio, _ = G.demod_am(x)
+    else:
+        audio, _ = G.demod_nfm(x, fs, cfg.nfm_deviation_hz)
+    if mode_name != "nfm":  # chain bypasses AGC for FM
+        audio, _, _ = G.agc(audio, chain.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+    return audio
+
+
+class TestConfig1SSB:
+    def test_single_channel_ssb(self):
+        iq, truth = FX.ssb_capture(FS, 96 * 2048, 37_000.0)
+        cfg = RxConfig(channels=1)
+        chain = RxChain(cfg)
+        words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
+        mode = jnp.asarray([demod_op.SSB], jnp.int32)
+        step = jax.jit(chain.step)
+        st = chain.init_state(1)
+        st, audio, aux = step(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        audio = np.asarray(audio)[0]
+        snr_jax = audio_snr_db(truth, audio)
+        golden = golden_chain(chain, iq, 37_000.0, "ssb")
+        snr_gold = audio_snr_db(truth, golden)
+        assert snr_jax > 30.0, f"jax SSB SNR {snr_jax:.1f}"
+        assert abs(snr_gold - snr_jax) <= 1.0, f"golden {snr_gold:.1f} vs jax {snr_jax:.1f}"
+        # direct agreement between implementations
+        assert audio_snr_db(golden, audio) > 35.0
+
+    def test_streaming_matches_oneshot(self):
+        iq, _ = FX.ssb_capture(FS, 8 * chain_min_block(), 37_000.0)
+        cfg = RxConfig(channels=1)
+        chain = RxChain(cfg)
+        words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
+        mode = jnp.asarray([demod_op.SSB], jnp.int32)
+        step = jax.jit(chain.step)
+        st = chain.init_state(1)
+        _, whole, _ = step(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        st = chain.init_state(1)
+        outs = []
+        for blk in np.split(iq, 8):
+            st, a, _ = step(st, jnp.asarray(blk[None, :], jnp.complex64), words, mode)
+            outs.append(np.asarray(a))
+        got = np.concatenate(outs, axis=-1)
+        whole = np.asarray(whole)
+        # warm-up window: AGC gain sits at ~max_gain over near-silence, so fp32
+        # noise (~2e-7) is amplified ~1e4x; outputs converge once signal arrives
+        np.testing.assert_allclose(got[:, 512:], whole[:, 512:], atol=2e-5)
+        np.testing.assert_allclose(got, whole, atol=5e-3)
+
+
+def chain_min_block():
+    return RxChain(RxConfig(channels=1)).min_block
+
+
+class TestConfig2ModeBank:
+    def test_four_modes_one_wideband_capture(self):
+        """One wideband stream; 4 channels tuned to 4 signals, 4 modes at once."""
+        n = 96 * 2048  # ~1.02 s, multiple of chain min_block
+        ssb_iq, ssb_truth = FX.ssb_capture(FS, n, 37_000.0)
+        am_iq, am_truth = FX.am_capture(FS, n, 20_000.0)
+        nfm_iq, nfm_truth = FX.nfm_capture(FS, n, -15_000.0)
+        cw_iq, cw_key = FX.cw_capture(FS, n, 70_000.0)
+        wideband = (ssb_iq + am_iq + nfm_iq + cw_iq).astype(np.complex64)
+
+        cfg = RxConfig(channels=4)
+        chain = RxChain(cfg)
+        words = jnp.asarray(nco.freq_word([37_000.0, 70_000.0, 20_000.0, -15_000.0], FS))
+        mode = jnp.asarray([demod_op.SSB, demod_op.CW, demod_op.AM, demod_op.NFM], jnp.int32)
+        step = jax.jit(chain.step)
+        st = chain.init_state(4)
+        # shared wideband input broadcast across channels
+        st, audio, _ = step(st, jnp.asarray(wideband[None, :]), words, mode)
+        audio = np.asarray(audio)
+        # score steady state: the AM dc-blocker turn-on transient pumps the
+        # AGC (gain recovers over release_s=0.5 s — correct behavior, but a
+        # global-gain SNR metric reads the ramp as error)
+        settle = 32 * 1024  # ~0.68 s at 48 kHz
+        snr_ssb = audio_snr_db(ssb_truth, audio[0])
+        snr_am = audio_snr_db(am_truth[settle:], audio[2][settle:], trim=1024)
+        snr_nfm = audio_snr_db(nfm_truth[settle:], audio[3][settle:], trim=1024)
+        assert snr_ssb > 25.0, f"SSB {snr_ssb:.1f}"
+        assert snr_am > 20.0, f"AM {snr_am:.1f}"
+        assert snr_nfm > 20.0, f"NFM {snr_nfm:.1f}"
+        # CW: keyed tone present at the beat frequency; check envelope corr
+        env = np.abs(audio[1])
+        lp = FD.lowpass_taps(65, 100.0, 48_000.0)
+        env_s, _ = G.fir_decimate(env.astype(np.complex128), lp, 1)
+        key48 = cw_key[::4][: len(env_s)]
+        c = np.corrcoef(np.real(env_s), key48)[0, 1]
+        assert c > 0.85, f"CW envelope correlation {c:.3f}"
