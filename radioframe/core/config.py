@@ -91,6 +91,10 @@ class TxConfig:
     mode_filters: ModeFilters = field(default_factory=ModeFilters)
     am_depth: float = 0.9
     nfm_deviation_hz: float = 2500.0
+    # speech processor (mic compressor); max_gain=1.0 makes it transparent
+    compressor_target: float = 0.7
+    compressor_max_gain: float = 4.0
+    compressor_release_s: float = 0.05
 
     @property
     def interp(self) -> int:

@@ -1,0 +1,103 @@
+"""TxChain — the DUC transmit block program (SURVEY.md §3.3, the adjoint pass).
+
+Reference analog: TX half of `[U:audio_processor.c]` (mic EQ/compressor ->
+modulator) + the FPGA DUC (interpolating FIR/CIC -> TX NCO -> DAC). Here:
+
+    (state, audio (C, Ta), freq_words (C,), mode (C,)) -> (state, iq (C, Ta*L))
+
+- speech processor: DC block + compressor (fast-attack AGC toward a target)
+- modulator bank: SSB (one-sided complex BPF via OLS), CW (audio as keying
+  envelope), AM (1 + depth*audio), NFM (phase-integrator FM) — dense + masked
+  like the RX demod bank
+- interpolation stages: FirInterpolator (transposed conv), then mix up with
+  the TX DDS NCO. Full duplex = RxChain.step and TxChain.step composed in one
+  jitted program (pipelines/duplex.py, BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from radioframe.core.config import TxConfig
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.ops import filter_design as FD
+from radioframe.ops import nco
+from radioframe.ops.interp import FirInterpolator
+from radioframe.ops.ols import OverlapSave
+from radioframe.ops.scans import affine_scan
+
+TWO_PI = 2.0 * np.pi
+
+
+class TxChain:
+    def __init__(self, cfg: TxConfig):
+        self.cfg = cfg
+        mf = cfg.mode_filters
+        self.ssb_bpf = OverlapSave(
+            FD.complex_bandpass_taps(mf.numtaps, mf.ssb_lo, mf.ssb_hi, cfg.fs_audio),
+            hop=512,
+        )
+        self.interps = []
+        fs = cfg.fs_audio
+        for L in cfg.interp_stages:
+            fs_out = fs * L
+            taps = FD.interp_taps(cfg.numtaps_per_stage, L, fs_out, 0.5 * fs * 0.9)
+            self.interps.append(FirInterpolator(taps, L))
+            fs = fs_out
+        assert abs(fs - cfg.fs_out) < 1e-6, (fs, cfg.fs_out)
+        self.comp_decay = agc_op.release_decay(cfg.compressor_release_s, cfg.fs_audio)
+        # phase step per unit audio for NFM (rad/sample at audio rate)
+        self.fm_k = TWO_PI * cfg.nfm_deviation_hz / cfg.fs_audio
+        self.min_block = int(np.lcm(self.ssb_bpf.hop, 1))
+
+    def init_state(self, num_channels: int | None = None):
+        C = self.cfg.channels if num_channels is None else num_channels
+        return {
+            "dc": demod_op.dc_block_init(C),
+            "comp": agc_op.init_state(C),
+            "ssb": self.ssb_bpf.init_state(C),
+            "fm_phase": jnp.zeros((C,), jnp.float32),
+            "interp": tuple(ip.init_state(C) for ip in self.interps),
+            "nco": nco.init_state(C),
+        }
+
+    def step(self, state, audio, freq_words, mode):
+        cfg = self.cfg
+        C, Ta = audio.shape
+        assert Ta % self.min_block == 0
+        # --- speech processor: DC block + compressor ------------------------
+        a, dc_state = demod_op.dc_block(state["dc"], audio)
+        a, comp_env, _ = agc_op.apply(
+            state["comp"], a, self.comp_decay,
+            target=cfg.compressor_target, max_gain=cfg.compressor_max_gain)
+        # --- modulator bank -------------------------------------------------
+        ac = a.astype(jnp.complex64)
+        y_ssb, ssb_tail = self.ssb_bpf(state["ssb"], ac)
+        y_cw = jnp.clip(audio, 0.0, 1.0).astype(jnp.complex64)  # keying envelope
+        y_am = (1.0 + cfg.am_depth * a).astype(jnp.complex64)
+        # NFM: phase integrator as cumsum (affine scan a=1) with carried phase
+        dphi = self.fm_k * a
+        phase = affine_scan(jnp.ones_like(dphi), dphi, state["fm_phase"])
+        y_nfm = jnp.exp(1j * phase.astype(jnp.float32)).astype(jnp.complex64)
+        new_fm_phase = jnp.mod(phase[:, -1], jnp.float32(TWO_PI))
+        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])  # (4, C, Ta)
+        base = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        # --- interpolate to fs_out -----------------------------------------
+        x = base
+        interp_tails = []
+        for ip, tail in zip(self.interps, state["interp"]):
+            x, t = ip(tail, x)
+            interp_tails.append(t)
+        # --- TX NCO mix up --------------------------------------------------
+        iq, nco_acc = nco.mix_up(x, freq_words, state["nco"])
+        new_state = {
+            "dc": dc_state,
+            "comp": comp_env,
+            "ssb": ssb_tail,
+            "fm_phase": new_fm_phase,
+            "interp": tuple(interp_tails),
+            "nco": nco_acc,
+        }
+        return new_state, iq
