@@ -43,14 +43,25 @@ def main():
     mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
 
     step = jax.jit(chain.step, donate_argnums=0)
+
+    # the axon remote backend neither blocks in block_until_ready nor supports
+    # op-by-op complex64 dispatch/host transfers — force execution by fetching
+    # a jit-computed float32 scalar that depends on the full output
+    reduce = jax.jit(lambda a: jnp.sum(jnp.abs(a)))
+
+    def sync(audio):
+        return float(reduce(audio))
+
     state = chain.init_state(C)
-    state, audio, aux = jax.block_until_ready(step(state, iq, words, mode))  # compile
-    state, audio, aux = jax.block_until_ready(step(state, iq, words, mode))  # warm
+    state, audio, aux = step(state, iq, words, mode)  # compile
+    sync(audio)
+    state, audio, aux = step(state, iq, words, mode)  # warm
+    sync(audio)
 
     t0 = time.perf_counter()
     for _ in range(blocks):
         state, audio, aux = step(state, iq, words, mode)
-    jax.block_until_ready((state, audio))
+    sync(audio)
     dt = time.perf_counter() - t0
 
     samples = C * T * blocks  # channel-input IQ samples consumed

@@ -55,6 +55,30 @@ def mix_down(x, word, phase_acc):
     return x * osc.astype(x.dtype), new_acc
 
 
+def mix_down_at(x, word, phase_acc, sample_offset):
+    """mix_down evaluated at a (traced) int32 sample offset into the stream.
+
+    Used by time-sharded chains: shard d computes its oscillator segment
+    locally from the replicated phase state — no communication, exact
+    (int32 wrap) agreement with the unsharded program. Does NOT advance the
+    accumulator; the caller advances it once by the global block length.
+    """
+    T = x.shape[-1]
+    base = phase_acc + word * sample_offset.astype(jnp.int32)
+    angle, _ = phase_ramp(word, base, T)
+    osc = jnp.cos(angle) - 1j * jnp.sin(angle)
+    return x * osc.astype(x.dtype)
+
+
+def mix_up_at(x, word, phase_acc, sample_offset):
+    """mix_up at a sample offset (see mix_down_at)."""
+    T = x.shape[-1]
+    base = phase_acc + word * sample_offset.astype(jnp.int32)
+    angle, _ = phase_ramp(word, base, T)
+    osc = jnp.cos(angle) + 1j * jnp.sin(angle)
+    return x * osc.astype(x.dtype)
+
+
 def mix_up(x, word, phase_acc):
     """y = x * e^{+j phase} (DUC direction); returns (y, new_phase_acc)."""
     T = x.shape[-1]

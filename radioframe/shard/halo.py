@@ -1,0 +1,124 @@
+"""Halo exchange + cross-shard scan completion for time-sharded streams.
+
+The centerpiece of the TPU-native design (SURVEY.md §2.3/§5): one contiguous
+IQ stream is split across the mesh's ``time`` axis; causal filter state
+(FIR/CIC tails) crosses shard boundaries as a neighbor ``ppermute`` halo, and
+per-sample recursions (AGC envelope, DC blocker, FM phase) become
+local associative scans finished by a tiny all-gather prefix across shards —
+sequence parallelism for DSP state machines.
+
+Layout convention inside shard_map: arrays are (C_local, T_local); the
+``time`` mesh axis splits the last dim, shard d owning samples
+[d*T_local, (d+1)*T_local) of the block. Block-to-block carry state is
+replicated across the time axis (and sharded over ``channel``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from radioframe.ops.scans import affine_scan, maxdecay_scan
+
+
+def _wrap_perm(D):
+    return [(i, (i + 1) % D) for i in range(D)]
+
+
+def causal_halo(x_local, carry, H: int, axis: str = "time"):
+    """Prepend each shard's left-neighbor tail (length H) to x_local.
+
+    Shard 0 prepends ``carry`` (the previous block's global tail, replicated
+    across the time axis); the value shard 0 receives from the wrap-around
+    ppermute — the current block's global tail — becomes the next carry,
+    broadcast back to all shards via a masked psum.
+
+    Returns (x_with_halo (C, H+T_local), new_carry (C, H)).
+    """
+    if H == 0:
+        return x_local, carry
+    D = lax.axis_size(axis)
+    d = lax.axis_index(axis)
+    tail = x_local[..., -H:]
+    if D == 1:
+        return jnp.concatenate([carry, x_local], axis=-1), tail
+    recv = lax.ppermute(tail, axis, _wrap_perm(D))
+    is0 = (d == 0)
+    prepend = jnp.where(is0, carry, recv)
+    new_carry = lax.psum(jnp.where(is0, recv, jnp.zeros_like(recv)), axis)
+    return jnp.concatenate([prepend, x_local], axis=-1), new_carry
+
+
+def last_shard_value(x_last_local, axis: str = "time"):
+    """Broadcast the last time-shard's value to all shards (replicated)."""
+    D = lax.axis_size(axis)
+    if D == 1:
+        return x_last_local
+    d = lax.axis_index(axis)
+    mask = (d == D - 1)
+    return lax.psum(jnp.where(mask, x_last_local, jnp.zeros_like(x_last_local)), axis)
+
+
+def _shard_prefix_inputs(local_final, axis):
+    """all_gather local aggregates -> (D, ...) array, plus this shard's index."""
+    g = lax.all_gather(local_final, axis)  # (D, ...)
+    return g, lax.axis_index(axis)
+
+
+def sharded_maxdecay_scan(a_const: float, v_local, carry, axis: str = "time"):
+    """env[n] = max(a*env[n-1], v[n]) across the full time-sharded block.
+
+    a_const static per-sample decay; v_local (C, T_local); carry (C,) is the
+    global env entering the block. Returns (env_local (C, T_local),
+    new_carry (C,) replicated).
+    """
+    C, T = v_local.shape
+    a = jnp.full_like(v_local, jnp.float32(a_const))
+    D = lax.axis_size(axis)
+    zero = jnp.zeros((C,), v_local.dtype)
+    local_env = maxdecay_scan(a, v_local, zero)  # scan from 0
+    if D == 1:
+        env = jnp.maximum(local_env, carry[:, None] * a_const ** (1 + jnp.arange(T, dtype=jnp.float32)))
+        return env, env[:, -1]
+    V = lax.all_gather(local_env[:, -1], axis)  # (D, C)
+    d = lax.axis_index(axis)
+    A = jnp.float32(a_const) ** T  # decay over one shard
+    # in_j: env entering shard j; computed identically on every shard
+    def body(j, ins):
+        prev = ins[j]
+        nxt = jnp.maximum(V[j], A * prev)
+        return ins.at[j + 1].set(nxt)
+    ins0 = jnp.zeros((D + 1, C), v_local.dtype).at[0].set(carry)
+    ins = lax.fori_loop(0, D, body, ins0)  # (D+1, C); ins[D] = next carry
+    my_in = ins[d]
+    decay_pow = jnp.float32(a_const) ** (1 + jnp.arange(T, dtype=jnp.float32))
+    env = jnp.maximum(local_env, my_in[:, None] * decay_pow[None, :])
+    return env, ins[D]
+
+
+def sharded_affine_scan(a_const: float, b_local, carry, axis: str = "time"):
+    """s[n] = a*s[n-1] + b[n] across the time-sharded block (a static).
+
+    b_local (C, T_local); carry (C,). Returns (s_local, new_carry)."""
+    C, T = b_local.shape
+    a = jnp.full_like(b_local, b_local.dtype.type(a_const))
+    D = lax.axis_size(axis)
+    zero = jnp.zeros((C,), b_local.dtype)
+    local_s = affine_scan(a, b_local, zero)
+    A = b_local.dtype.type(a_const) ** T
+    if D == 1:
+        apow = b_local.dtype.type(a_const) ** (1 + jnp.arange(T, dtype=b_local.dtype))
+        s = local_s + carry[:, None] * apow[None, :]
+        return s, s[:, -1]
+    B = lax.all_gather(local_s[:, -1], axis)  # (D, C)
+    d = lax.axis_index(axis)
+    def body(j, ins):
+        nxt = B[j] + A * ins[j]
+        return ins.at[j + 1].set(nxt)
+    ins0 = jnp.zeros((D + 1, C), b_local.dtype).at[0].set(carry)
+    ins = lax.fori_loop(0, D, body, ins0)
+    my_in = ins[d]
+    apow = b_local.dtype.type(a_const) ** (1 + jnp.arange(T, dtype=b_local.dtype))
+    s = local_s + my_in[:, None] * apow[None, :]
+    return s, ins[D]

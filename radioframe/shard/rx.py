@@ -1,0 +1,162 @@
+"""ShardedRxChain — the RX block program over a ('channel', 'time') mesh.
+
+BASELINE.json config 3 (64-channel sharded DDC with halo exchange) and the
+scaling substrate for config 5. Design per SURVEY.md §2.3:
+
+  - ``channel`` axis: embarrassingly parallel (DP-analog) — every op is
+    already batched over channels, so sharding the C dim needs no collectives.
+  - ``time`` axis: sequence parallelism — one contiguous IQ block split
+    across shards. Causal FIR/CIC tails cross shard boundaries via
+    ppermute halos; AGC/DC-block/FM recursions finish with all-gather
+    prefix scans (radioframe/shard/halo.py). The int32 DDS NCO needs NO
+    communication: shard d derives its oscillator segment from the
+    replicated phase word at offset d*T_local, bit-identical to unsharded.
+
+Produces the same (state, audio, aux) as RxChain.step, with identical
+numerics up to fp32 reassociation — asserted by tests/test_sharded.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.ops import nco
+from radioframe.pipelines.rx_chain import RxChain
+from radioframe.shard.halo import (
+    causal_halo,
+    last_shard_value,
+    sharded_affine_scan,
+    sharded_maxdecay_scan,
+)
+
+
+def _halo_tail(x_local, carry, H, axis="time"):
+    """(prepend_tail (C, H), new_carry) — carry replicated across time axis."""
+    if H == 0:
+        return x_local[..., :0], carry
+    xp, new_carry = causal_halo(x_local, carry, H, axis)
+    return xp[..., :H], new_carry
+
+
+class ShardedRxChain:
+    """Wraps an RxChain's ops in a shard_map'd block step."""
+
+    def __init__(self, chain: RxChain, mesh, channel_axis="channel", time_axis="time"):
+        self.chain = chain
+        self.mesh = mesh
+        self.ca, self.ta = channel_axis, time_axis
+        assert not chain.cfg.emit_spectrum or chain.cfg.spectrum_avg == 0.0, (
+            "sharded spectrum EMA across time shards not yet supported")
+
+    # ---- per-shard body (runs inside shard_map) ---------------------------
+
+    def _local_step(self, state, iq, words, mode):
+        chain, cfg, ta = self.chain, self.chain.cfg, self.ta
+        D = lax.axis_size(ta)
+        d = lax.axis_index(ta)
+        T_loc = iq.shape[-1]
+
+        # NCO: local segment at global offset d*T_loc, no comms
+        x = nco.mix_down_at(iq, words, state["nco"], d * jnp.int32(T_loc))
+        new_nco = state["nco"] + words * jnp.int32(D * T_loc)
+
+        # decimation stages: halo = L-1 input samples from left neighbor
+        tails = []
+        for dec, carry in zip(chain.decimators, state["decim"]):
+            prepend, new_carry = _halo_tail(x, carry, dec.L - 1, ta)
+            x, _ = dec(prepend, x)
+            tails.append(new_carry)
+
+        # mode-filter OLS bank: halo at audio rate
+        prepend, bpf_carry = _halo_tail(x, state["bpf"], chain.mode_bank.L - 1, ta)
+        filt, _ = chain.mode_bank(prepend, x)  # (4, C, Ta_loc)
+        sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+
+        Ta_loc = sel.shape[-1]
+        # demod bank, sharded: cw NCO at offset; nfm 1-sample halo; am dc scan
+        y_ssb = demod_op.demod_ssb(sel)
+        cw_word = jnp.full(sel.shape[0], chain.cw_tone_word, jnp.int32)
+        y_cw = 2.0 * jnp.real(nco.mix_up_at(sel, cw_word, state["demod"]["cw_phase"],
+                                            d * jnp.int32(Ta_loc)))
+        new_cw = state["demod"]["cw_phase"] + cw_word * jnp.int32(D * Ta_loc)
+
+        env_am = jnp.abs(sel).astype(jnp.float32)
+        xprev_pre, new_am_xprev = _halo_tail(env_am, state["demod"]["am_dc"][0][:, None], 1, ta)
+        xprev = jnp.concatenate([xprev_pre, env_am[:, :-1]], axis=-1)
+        b = env_am - xprev
+        y_am, new_am_y = sharded_affine_scan(0.995, b, state["demod"]["am_dc"][1], ta)
+        new_am_dc = jnp.stack([jnp.real(new_am_xprev[:, -1]), new_am_y])
+
+        prev_pre, new_nfm_last = _halo_tail(sel, state["demod"]["nfm_last"][:, None], 1, ta)
+        xprev_c = jnp.concatenate([prev_pre, sel[:, :-1]], axis=-1)
+        dd = sel * jnp.conj(xprev_c)
+        y_nfm = jnp.arctan2(jnp.imag(dd), jnp.real(dd)) * jnp.float32(
+            cfg.fs_audio / (2.0 * np.pi * cfg.nfm_deviation_hz))
+
+        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])
+        audio = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        audio = audio.astype(jnp.float32)
+
+        # AGC: cross-shard max-decay scan
+        env, new_agc = sharded_maxdecay_scan(chain.agc_decay, jnp.abs(audio), state["agc"], ta)
+        gain = jnp.minimum(jnp.float32(cfg.agc.max_gain),
+                           jnp.float32(cfg.agc.target) / jnp.maximum(env, jnp.float32(1e-9)))
+        agc_audio = audio * gain
+        audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+
+        aux = {
+            "agc_gain_last": last_shard_value(gain[:, -1], ta),
+            "power_in": lax.psum(jnp.sum(jnp.abs(iq) ** 2, axis=-1), ta) / (D * T_loc),
+        }
+        spec_prev = state["spec"]
+        if cfg.emit_spectrum:
+            lines, _ = chain.spectrum(state["spec"], x)
+            aux["spectrum"] = lines
+            spec_prev = last_shard_value(lines[:, -1, :], ta)
+
+        new_state = {
+            "nco": new_nco,
+            "decim": tuple(tails),
+            "bpf": bpf_carry,
+            "demod": {"cw_phase": new_cw, "am_dc": new_am_dc, "nfm_last": new_nfm_last[:, -1]},
+            "agc": new_agc,
+            "spec": spec_prev,
+        }
+        return new_state, audio, aux
+
+    # ---- shard_map wrapper -------------------------------------------------
+
+    def _state_specs(self):
+        ca = self.ca
+        return {
+            "nco": P(ca),
+            "decim": tuple(P(ca, None) for _ in self.chain.decimators),
+            "bpf": P(ca, None),
+            "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca)},
+            "agc": P(ca),
+            "spec": P(ca, None),
+        }
+
+    def step(self, state, iq, words, mode):
+        ca, ta = self.ca, self.ta
+        sspec = self._state_specs()
+        aux_spec = {"agc_gain_last": P(ca), "power_in": P(ca)}
+        if self.chain.cfg.emit_spectrum:
+            aux_spec["spectrum"] = P(ca, ta, None)
+        fn = jax.shard_map(
+            self._local_step,
+            mesh=self.mesh,
+            in_specs=(sspec, P(ca, ta), P(ca), P(ca)),
+            out_specs=(sspec, P(ca, ta), aux_spec),
+            check_vma=False,
+        )
+        return fn(state, iq, words, mode)
+
+    def init_state(self, num_channels: int):
+        return self.chain.init_state(num_channels)

@@ -1,0 +1,105 @@
+"""Config 3: sharded DDC with halo exchange (SURVEY.md §4.2 #4/#5).
+
+The sharded chain on a faked 8-device CPU mesh must reproduce the unsharded
+chain bit-near-exactly: same block, any mesh split (channel x time), and
+across multi-block streaming (carry handoff through halos)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from radioframe.core.config import RxConfig
+from radioframe.ops import demod as demod_op
+from radioframe.ops import nco
+from radioframe.pipelines.rx_chain import RxChain
+from radioframe.shard.rx import ShardedRxChain
+
+FS = 192_000.0
+
+
+def _mk(mesh_shape, C=8, emit_spectrum=False):
+    chain = RxChain(RxConfig(channels=C, ols_hop=512, emit_spectrum=emit_spectrum))
+    devs = jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+    mesh = jax.make_mesh(mesh_shape, ("channel", "time"), devices=devs)
+    return chain, ShardedRxChain(chain, mesh)
+
+
+def _inputs(chain, C, blocks=1, seed=0):
+    rng = np.random.default_rng(seed)
+    T = blocks * 8 * chain.min_block  # 8 time shards max -> T_local >= min_block
+    iq = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+    words = jnp.asarray(nco.freq_word(np.linspace(-80e3, 80e3, C), FS))
+    mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+    return jnp.asarray(iq), words, mode
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (8, 1), (2, 4), (4, 2)])
+def test_sharded_matches_unsharded_single_block(mesh_shape):
+    C = 8
+    chain, sharded = _mk(mesh_shape, C)
+    iq, words, mode = _inputs(chain, C)
+    st = chain.init_state(C)
+    ref_state, ref_audio, ref_aux = jax.jit(chain.step)(st, iq, words, mode)
+    st2 = chain.init_state(C)
+    got_state, got_audio, got_aux = jax.jit(sharded.step)(st2, iq, words, mode)
+    np.testing.assert_allclose(np.asarray(got_audio), np.asarray(ref_audio), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_aux["power_in"]),
+                               np.asarray(ref_aux["power_in"]), rtol=1e-5)
+    # carried state must agree (it feeds the next block)
+    for name in ("nco", "agc", "bpf"):
+        np.testing.assert_allclose(np.asarray(got_state[name]), np.asarray(ref_state[name]),
+                                   atol=2e-4, err_msg=name)
+    for a, b in zip(got_state["decim"], ref_state["decim"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_streaming_matches_unsharded():
+    C = 8
+    chain, sharded = _mk((2, 4), C)
+    iq, words, mode = _inputs(chain, C, blocks=3)
+    blocks = np.split(np.asarray(iq), 3, axis=-1)
+
+    st = chain.init_state(C)
+    ref = []
+    step = jax.jit(chain.step)
+    for b in blocks:
+        st, a, _ = step(st, jnp.asarray(b), words, mode)
+        ref.append(np.asarray(a))
+    ref = np.concatenate(ref, axis=-1)
+
+    st = chain.init_state(C)
+    got = []
+    sstep = jax.jit(sharded.step)
+    for b in blocks:
+        st, a, _ = sstep(st, jnp.asarray(b), words, mode)
+        got.append(np.asarray(a))
+    got = np.concatenate(got, axis=-1)
+    np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_sharded_spectrum_output():
+    C = 8
+    chain, sharded = _mk((2, 4), C, emit_spectrum=True)
+    iq, words, mode = _inputs(chain, C)
+    st = chain.init_state(C)
+    _, _, ref_aux = jax.jit(chain.step)(st, iq, words, mode)
+    st2 = chain.init_state(C)
+    _, _, got_aux = jax.jit(sharded.step)(st2, iq, words, mode)
+    np.testing.assert_allclose(np.asarray(got_aux["spectrum"]),
+                               np.asarray(ref_aux["spectrum"]), atol=1e-2)
+
+
+def test_explicit_device_placement():
+    """Inputs/state explicitly placed with shardings still work end to end."""
+    C = 8
+    chain, sharded = _mk((2, 4), C)
+    iq, words, mode = _inputs(chain, C)
+    mesh = sharded.mesh
+    iq = jax.device_put(iq, NamedSharding(mesh, P("channel", "time")))
+    words = jax.device_put(words, NamedSharding(mesh, P("channel")))
+    mode = jax.device_put(mode, NamedSharding(mesh, P("channel")))
+    st = chain.init_state(C)
+    _, audio, _ = jax.jit(sharded.step)(st, iq, words, mode)
+    assert audio.shape == (C, iq.shape[-1] // chain.cfg.decim)
