@@ -1,0 +1,73 @@
+"""Channelizer pipeline — wideband IQ -> M channels -> per-channel AGC/demod
++ wideband waterfall (BASELINE config 5, unsharded reference program;
+the pod-sharded version is radioframe/shard/channelizer.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from radioframe.core.config import AgcConfig
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.ops import nco
+from radioframe.ops.pfb import PfbChannelizer
+from radioframe.ops.spectrum import Spectrum
+
+
+@dataclass(frozen=True)
+class ChannelizerConfig:
+    fs_in: float = 61_440_000.0      # wideband input rate
+    num_channels: int = 4096
+    taps_per_channel: int = 8
+    agc: AgcConfig = field(default_factory=AgcConfig)
+    cw_tone_hz: float = 600.0
+    nfm_deviation_hz: float = 2500.0
+    spectrum_nfft: int = 4096
+    emit_spectrum: bool = True
+
+    @property
+    def fs_channel(self) -> float:
+        return self.fs_in / self.num_channels
+
+
+class ChannelizerChain:
+    """(state, wideband (T,), mode (M,)) -> (state, audio (M, T/M), aux)."""
+
+    def __init__(self, cfg: ChannelizerConfig):
+        self.cfg = cfg
+        self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
+        self.spectrum = Spectrum(cfg.spectrum_nfft)
+        self.agc_decay = agc_op.release_decay(cfg.agc.release_s, cfg.fs_channel)
+        self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, cfg.fs_channel))
+        self.min_block = cfg.num_channels * max(cfg.taps_per_channel, 1)
+
+    def init_state(self):
+        M = self.cfg.num_channels
+        return {
+            "pfb": self.pfb.init_state(1),
+            "demod": demod_op.bank_init(M),
+            "agc": agc_op.init_state(M),
+            "spec": self.spectrum.init_state(1),
+        }
+
+    def step(self, state, wideband, mode):
+        cfg = self.cfg
+        M = cfg.num_channels
+        chans, pfb_tail = self.pfb(state["pfb"], wideband[None, :])  # (1, M, F)
+        chans = chans[0]  # (M, F)
+        cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
+        audio, demod_state = demod_op.bank_apply(
+            state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
+        agc_audio, agc_env, agc_gain = agc_op.apply(
+            state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+        aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
+        spec_prev = state["spec"]
+        if cfg.emit_spectrum:
+            lines, spec_prev = self.spectrum(state["spec"], wideband[None, :])
+            aux["waterfall"] = lines[0]  # (F_spec, nfft)
+        new_state = {"pfb": pfb_tail, "demod": demod_state, "agc": agc_env, "spec": spec_prev}
+        return new_state, audio, aux

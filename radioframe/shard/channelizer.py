@@ -1,0 +1,95 @@
+"""Pod-sharded channelizer (BASELINE config 5; SURVEY.md §2.3 re-shard row).
+
+Dataflow over a 1-D device mesh ("dev", D devices):
+
+  wideband IQ, time-sharded P('dev')
+    -> causal halo ((K-1)*M raw samples via ppermute)
+    -> per-shard PFB (depthwise polyphase FIR + M-point DFT)   [time-sharded]
+    -> lax.all_to_all transpose: channels split D-ways, frames gathered
+       (the Ulysses-style reshard between time-parallel filtering and
+       channel-parallel demod)
+    -> per-channel demod bank + AGC on full-length channel streams
+       [channel-sharded, no further collectives]
+
+Audio out: (M, F) sharded P('dev') over channels. Wideband waterfall stays
+time-sharded P('dev') over frames.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from radioframe.ops import agc as agc_op
+from radioframe.ops import demod as demod_op
+from radioframe.pipelines.channelizer import ChannelizerChain
+from radioframe.shard.halo import causal_halo
+
+
+class ShardedChannelizer:
+    def __init__(self, chain: ChannelizerChain, mesh, axis: str = "dev"):
+        self.chain = chain
+        self.mesh = mesh
+        self.axis = axis
+        D = mesh.shape[axis]
+        assert chain.cfg.num_channels % D == 0
+
+    def _local_step(self, state, wideband, mode):
+        chain, cfg, ax = self.chain, self.chain.cfg, self.axis
+        M = cfg.num_channels
+        D = lax.axis_size(ax)
+        H = (chain.pfb.K - 1) * M
+
+        x = wideband[None, :]  # (1, T_loc)
+        xp, pfb_carry = causal_halo(x, state["pfb"], H, ax)
+        chans, _ = chain.pfb(xp[:, :H], x)  # (1, M, F_loc)
+        chans = chans[0]  # (M, F_loc)
+
+        # reshard: channels -> P(dev), frames -> full length
+        if D > 1:
+            chans = lax.all_to_all(chans, ax, split_axis=0, concat_axis=1, tiled=True)
+        # (M/D, F) — each device now owns M/D channels' full streams
+
+        cw_word = jnp.full((chans.shape[0],), chain.cw_tone_word, jnp.int32)
+        audio, demod_state = demod_op.bank_apply(
+            state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
+        agc_audio, agc_env, agc_gain = agc_op.apply(
+            state["agc"], audio, chain.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+
+        aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
+        spec_prev = state["spec"]
+        if cfg.emit_spectrum:
+            lines, _ = chain.spectrum(state["spec"], x)
+            aux["waterfall"] = lines[0]  # (F_spec_loc, nfft), time-sharded
+        new_state = {"pfb": pfb_carry, "demod": demod_state, "agc": agc_env,
+                     "spec": spec_prev}
+        return new_state, audio, aux
+
+    def _state_specs(self):
+        ax = self.axis
+        return {
+            "pfb": P(None, None),  # replicated carry
+            "demod": {"cw_phase": P(ax), "am_dc": P(None, ax), "nfm_last": P(ax)},
+            "agc": P(ax),
+            "spec": P(None, None),
+        }
+
+    def step(self, state, wideband, mode):
+        ax = self.axis
+        aux_spec = {"channel_power": P(ax)}
+        if self.chain.cfg.emit_spectrum:
+            aux_spec["waterfall"] = P(ax, None)
+        fn = jax.shard_map(
+            self._local_step,
+            mesh=self.mesh,
+            in_specs=(self._state_specs(), P(ax), P(ax)),
+            out_specs=(self._state_specs(), P(ax, None), aux_spec),
+            check_vma=False,
+        )
+        return fn(state, wideband, mode)
+
+    def init_state(self):
+        return self.chain.init_state()
