@@ -116,7 +116,10 @@ class RxChain:
         agc_audio, agc_env, agc_gain = agc_op.apply(
             state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
-        aux = {"agc_gain_last": agc_gain[:, -1], "power_in": jnp.mean(jnp.abs(iq) ** 2, axis=-1)}
+        # iq may be (1, T) broadcast across C channels; report per channel
+        pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+        aux = {"agc_gain_last": agc_gain[:, -1],
+               "power_in": jnp.broadcast_to(pw, mode.shape).astype(jnp.float32)}
         if cfg.emit_spectrum:
             lines, spec_prev = self.spectrum(state["spec"], x)
             aux["spectrum"] = lines

@@ -1,0 +1,90 @@
+"""Aux subsystems: Radio API, checkpoint/resume (bit-exact), WAV I/O, snap."""
+
+import numpy as np
+import pytest
+
+from radioframe.core.config import RxConfig
+from radioframe.io import fixtures as FX
+from radioframe.io.wav import read_wav, write_wav
+
+FS = 192_000.0
+
+
+class TestWav:
+    def test_iq_round_trip(self, tmp_path, rng):
+        iq = (rng.standard_normal(1000) + 1j * rng.standard_normal(1000)).astype(np.complex64)
+        p = str(tmp_path / "cap.wav")
+        write_wav(p, iq, FS)
+        back, fs = read_wav(p)
+        assert fs == FS and back.dtype == np.complex64
+        # 16-bit quantization: ~90 dB dynamic range, normalized scale
+        g = np.vdot(back, iq).real / np.vdot(back, back).real
+        err = iq - g * back
+        assert 10 * np.log10(np.mean(np.abs(iq) ** 2) / np.mean(np.abs(err) ** 2)) > 55
+
+    def test_mono(self, tmp_path, rng):
+        a = rng.standard_normal(500).astype(np.float32) * 0.5
+        p = str(tmp_path / "audio.wav")
+        write_wav(p, a, 48_000.0)
+        back, fs = read_wav(p)
+        assert fs == 48_000.0 and back.ndim == 1 and not np.iscomplexobj(back)
+
+
+class TestRadioApi:
+    def test_tune_process_metrics(self):
+        from radioframe.api.radio import Radio
+
+        r = Radio(RxConfig(channels=2, emit_spectrum=True))
+        iq, truth = FX.ssb_capture(FS, 8 * 4096, 37_000.0)
+        r.tune(0, 37_000.0)
+        r.set_mode(0, "ssb")
+        r.tune(1, -15_000.0)
+        r.set_mode(1, "nfm")
+        audio = r.process(iq)
+        assert audio.shape == (2, len(iq) // 4)
+        m = r.metrics()
+        assert "power_in" in m and m["power_in"].shape == (2,)
+        wf = r.waterfall()
+        assert wf is not None and wf.shape[0] == 2
+        assert r.mode(1) == "nfm" and r.frequency(0) == 37_000.0
+
+    def test_snap_retunes_to_carrier(self):
+        from radioframe.api.radio import Radio
+
+        # carrier at +20.3 kHz; tune 20.0 kHz; snap should pull within a bin
+        n = 16 * 4096
+        t = np.arange(n) / FS
+        iq = np.exp(2j * np.pi * 20_300.0 * t).astype(np.complex64)
+        r = Radio(RxConfig(channels=1, emit_spectrum=True))
+        r.tune(0, 20_000.0)
+        r.set_mode(0, "cw")
+        r.process(iq)
+        f = r.snap(0, search_hz=1000.0)
+        bin_hz = 48_000.0 / r.config.spectrum_nfft
+        assert abs(f - 20_300.0) <= bin_hz, f
+
+
+class TestCheckpointResume:
+    def test_bit_exact_stream_resume(self, tmp_path):
+        from radioframe.api.radio import Radio
+
+        iq, _ = FX.ssb_capture(FS, 4 * 8192, 37_000.0)
+        blocks = np.split(iq, 4)
+
+        r = Radio(RxConfig(channels=1))
+        r.tune(0, 37_000.0)
+        r.set_mode(0, "ssb")
+        r.process(blocks[0])
+        r.process(blocks[1])
+        ckdir = str(tmp_path / "ck")
+        r.save(ckdir, epoch=2)
+        a3 = r.process(blocks[2])
+        a4 = r.process(blocks[3])
+
+        r2 = Radio(RxConfig(channels=1))
+        assert r2.load(ckdir) == 2
+        assert r2.frequency(0) == 37_000.0 and r2.mode(0) == "ssb"
+        b3 = r2.process(blocks[2])
+        b4 = r2.process(blocks[3])
+        np.testing.assert_array_equal(a3, b3)
+        np.testing.assert_array_equal(a4, b4)
