@@ -14,6 +14,12 @@ import json
 import time
 
 import jax
+
+# remote (axon) compiles take minutes; persist them across bench runs
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -66,6 +66,14 @@ class RxConfig:
     spectrum_nfft: int = 1024
     spectrum_avg: float = 0.0
     emit_spectrum: bool = False
+    # interference fighters (SURVEY §2.1 #12/#13); static enables — the
+    # reference's menu toggles map to config + recompile (cheap, rare)
+    nb_enabled: bool = False
+    nb_threshold: float = 6.0
+    nr_enabled: bool = False
+    nr_nfft: int = 256
+    notch_enabled: bool = False
+    notch_nfft: int = 256
 
     @property
     def decim(self) -> int:

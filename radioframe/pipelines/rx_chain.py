@@ -69,6 +69,11 @@ class RxChain:
         self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
         self.agc_decay = agc_op.release_decay(cfg.agc.release_s, fa)
         self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, fa))
+        from radioframe.ops.interference import AutoNotch, NoiseBlanker, SpectralNR
+
+        self.nb = NoiseBlanker(cfg.nb_threshold) if cfg.nb_enabled else None
+        self.nr = SpectralNR(cfg.nr_nfft) if cfg.nr_enabled else None
+        self.notch = AutoNotch(cfg.notch_nfft) if cfg.notch_enabled else None
         # minimum input block: every stage's constraint pulled back to fs_in
         r = 1
         lcm = 1
@@ -77,6 +82,10 @@ class RxChain:
             r *= dec.R
         lcm = int(np.lcm(lcm, r * self.mode_bank.hop))
         lcm = int(np.lcm(lcm, r * cfg.spectrum_nfft)) if cfg.emit_spectrum else lcm
+        if cfg.nr_enabled:
+            lcm = int(np.lcm(lcm, r * cfg.nr_nfft))
+        if cfg.notch_enabled:
+            lcm = int(np.lcm(lcm, r * cfg.notch_nfft))
         self.min_block = lcm
 
     # -- state ---------------------------------------------------------------
@@ -90,6 +99,9 @@ class RxChain:
             "demod": demod_op.bank_init(C),
             "agc": agc_op.init_state(C),
             "spec": self.spectrum.init_state(C),
+            "nb": self.nb.init_state(C) if self.nb else (),
+            "nr": self.nr.init_state(C) if self.nr else (),
+            "notch": self.notch.init_state(C) if self.notch else (),
         }
 
     # -- the block program ---------------------------------------------------
@@ -105,8 +117,17 @@ class RxChain:
         for d, tail in zip(self.decimators, state["decim"]):
             x, t = d(tail, x)
             tails.append(t)
+        nb_state = state.get("nb", ())
+        if self.nb:
+            x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter
         filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (4, C, Ta)
         sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        notch_state = state.get("notch", ())
+        if self.notch:
+            sel, notch_state = self.notch(state["notch"], sel)
+        nr_state = state.get("nr", ())
+        if self.nr:
+            sel, nr_state = self.nr(state["nr"], sel)
         cw_word = jnp.full(iq.shape[0], self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
@@ -132,5 +153,8 @@ class RxChain:
             "demod": demod_state,
             "agc": agc_env,
             "spec": spec_prev,
+            "nb": nb_state,
+            "nr": nr_state,
+            "notch": notch_state,
         }
         return new_state, audio, aux

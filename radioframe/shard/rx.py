@@ -53,6 +53,9 @@ class ShardedRxChain:
         self.ca, self.ta = channel_axis, time_axis
         assert not chain.cfg.emit_spectrum or chain.cfg.spectrum_avg == 0.0, (
             "sharded spectrum EMA across time shards not yet supported")
+        assert not (chain.cfg.nb_enabled or chain.cfg.nr_enabled or chain.cfg.notch_enabled), (
+            "sharded interference ops (NB/NR/notch) not yet supported — "
+            "their frame-EMA states need cross-shard scans")
 
     # ---- per-shard body (runs inside shard_map) ---------------------------
 
@@ -127,6 +130,7 @@ class ShardedRxChain:
             "demod": {"cw_phase": new_cw, "am_dc": new_am_dc, "nfm_last": new_nfm_last[:, -1]},
             "agc": new_agc,
             "spec": spec_prev,
+            "nb": (), "nr": (), "notch": (),
         }
         return new_state, audio, aux
 
@@ -141,6 +145,7 @@ class ShardedRxChain:
             "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca)},
             "agc": P(ca),
             "spec": P(ca, None),
+            "nb": (), "nr": (), "notch": (),
         }
 
     def step(self, state, iq, words, mode):
