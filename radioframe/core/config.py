@@ -63,6 +63,7 @@ class RxConfig:
     cw_tone_hz: float = 600.0
     nfm_deviation_hz: float = 2500.0
     ols_hop: int = 512
+    use_pallas_fir: bool = False  # Pallas kernel for real-tap decim stages
     spectrum_nfft: int = 1024
     spectrum_avg: float = 0.0
     emit_spectrum: bool = False

@@ -26,6 +26,7 @@ class FirDecimator:
         taps = np.asarray(taps)
         self.R = int(R)
         self.L = len(taps)
+        self.tail_len = self.L - 1  # carried input samples == halo size
         self.complex_taps = np.iscomplexobj(taps)
         w = taps[::-1]  # correlation kernel: y[m] = sum_k w[k] xp[mR + k]
         if self.complex_taps:

@@ -34,9 +34,21 @@ class RxChain:
         self.decimators = []
         fs = cfg.fs_in
         prev_cic: CicStage | None = None
+        def _mk_decim(taps, R):
+            if cfg.use_pallas_fir:
+                from radioframe.kernels.polyphase_fir import PallasFirDecimator
+
+                return PallasFirDecimator(taps, R)
+            return FirDecimator(taps, R)
+
         for st in cfg.stages:
             if isinstance(st, CicStage):
-                self.decimators.append(cic_decimator(st.R, st.N, st.M))
+                if cfg.use_pallas_fir:
+                    from radioframe.ops.filter_design import cic_equivalent_taps
+
+                    self.decimators.append(_mk_decim(cic_equivalent_taps(st.R, st.N, st.M), st.R))
+                else:
+                    self.decimators.append(cic_decimator(st.R, st.N, st.M))
                 prev_cic = st
                 fs /= st.R
             elif isinstance(st, FirStage):
@@ -49,7 +61,7 @@ class RxChain:
                     )
                 else:
                     taps = FD.lowpass_taps(st.numtaps, min(st.passband_hz, stop), fs)
-                self.decimators.append(FirDecimator(taps, st.R))
+                self.decimators.append(_mk_decim(taps, st.R))
                 prev_cic = None
                 fs /= st.R
             else:

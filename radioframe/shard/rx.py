@@ -72,7 +72,7 @@ class ShardedRxChain:
         # decimation stages: halo = L-1 input samples from left neighbor
         tails = []
         for dec, carry in zip(chain.decimators, state["decim"]):
-            prepend, new_carry = _halo_tail(x, carry, dec.L - 1, ta)
+            prepend, new_carry = _halo_tail(x, carry, dec.tail_len, ta)
             x, _ = dec(prepend, x)
             tails.append(new_carry)
 
