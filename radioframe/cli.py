@@ -1,0 +1,115 @@
+"""radioframe CLI — the system-menu/CAT analog for humans and scripts.
+
+    radioframe rx --wav cap.wav --freq 37000 --mode ssb --out audio.wav
+    radioframe demo [--blocked] [--snr DB]
+    radioframe decode --wav audio.wav [--cw|--rtty] [--tone HZ]
+    radioframe info
+
+Reference analogs: `[U:system_menu.c]` (parameters -> flags) and `[U:cat.c]`
+(external control -> this CLI / the Python Radio API).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cmd_info(args):
+    import jax
+
+    import radioframe
+
+    print(f"radioframe {radioframe.__version__}")
+    print(f"jax {jax.__version__}, devices: {jax.devices()}")
+    from radioframe.core.config import RxConfig
+    from radioframe.pipelines.rx_chain import RxChain
+
+    chain = RxChain(RxConfig())
+    print(f"default RX chain: fs_in={chain.cfg.fs_in:.0f} Hz, decim={chain.cfg.decim}, "
+          f"audio fs={chain.cfg.fs_audio:.0f} Hz, min block={chain.min_block}")
+    return 0
+
+
+def _cmd_rx(args):
+    import numpy as np
+
+    from radioframe.api.radio import Radio
+    from radioframe.core.config import RxConfig
+    from radioframe.io.wav import read_wav, write_wav
+
+    iq, fs = read_wav(args.wav)
+    cfg = RxConfig(fs_in=fs, channels=1, emit_spectrum=args.waterfall is not None)
+    r = Radio(cfg)
+    r.tune(0, args.freq)
+    r.set_mode(0, args.mode)
+    chain_min = r.chain.min_block
+    n = (len(iq) // chain_min) * chain_min
+    if n == 0:
+        print(f"capture too short: {len(iq)} < one block ({chain_min})", file=sys.stderr)
+        return 1
+    audio = r.process(iq[:n])[0]
+    write_wav(args.out, audio, cfg.fs_audio)
+    m = r.metrics()
+    print(f"{args.wav}: {n} IQ samples @ {fs:.0f} Hz -> {len(audio)} audio samples "
+          f"@ {cfg.fs_audio:.0f} Hz ({args.mode} @ {args.freq:+.0f} Hz)")
+    print(f"input power {10*np.log10(float(m['power_in'][0])+1e-30):.1f} dB, "
+          f"AGC gain {float(m['agc_gain_last'][0]):.2f}")
+    if args.waterfall:
+        wf = r.waterfall()[0]
+        np.save(args.waterfall, wf)
+        print(f"waterfall ({wf.shape[0]} lines x {wf.shape[1]} bins) -> {args.waterfall}")
+    print(f"audio -> {args.out}")
+    return 0
+
+
+def _cmd_decode(args):
+    from radioframe.io.wav import read_wav
+    from radioframe.ops.decoders import cw_decode, rtty_decode
+
+    audio, fs = read_wav(args.wav)
+    if args.rtty:
+        text = rtty_decode(audio, fs)
+    else:
+        text = cw_decode(audio, fs, args.tone)
+    print(text)
+    return 0
+
+
+def _cmd_demo(args):
+    import examples.rx_demo  # noqa: F401  (runs via its main)
+    sys.argv = ["rx_demo"] + (["--blocked"] if args.blocked else [])
+    if args.snr is not None:
+        sys.argv += ["--snr", str(args.snr)]
+    examples.rx_demo.main()
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="radioframe")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info", help="environment + default chain info")
+
+    rx = sub.add_parser("rx", help="demodulate a WAV IQ capture")
+    rx.add_argument("--wav", required=True)
+    rx.add_argument("--freq", type=float, required=True, help="carrier offset Hz")
+    rx.add_argument("--mode", default="ssb", choices=["ssb", "cw", "am", "nfm"])
+    rx.add_argument("--out", default="audio.wav")
+    rx.add_argument("--waterfall", default=None, help="save waterfall .npy")
+
+    dec = sub.add_parser("decode", help="decode CW/RTTY from audio WAV")
+    dec.add_argument("--wav", required=True)
+    dec.add_argument("--rtty", action="store_true")
+    dec.add_argument("--tone", type=float, default=600.0)
+
+    demo = sub.add_parser("demo", help="run the 4-mode synthetic demo")
+    demo.add_argument("--blocked", action="store_true")
+    demo.add_argument("--snr", type=float, default=None)
+
+    args = ap.parse_args(argv)
+    return {"info": _cmd_info, "rx": _cmd_rx, "decode": _cmd_decode, "demo": _cmd_demo}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

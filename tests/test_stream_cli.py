@@ -1,0 +1,84 @@
+"""Block streaming (double-buffer feed) + CLI end-to-end."""
+
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radioframe.core.config import RxConfig
+from radioframe.core.stream import BlockStream, wav_blocks
+from radioframe.diag.metrics import audio_snr_db
+from radioframe.diag.timing import StageTimer, sync_value
+from radioframe.io import fixtures as FX
+from radioframe.io.wav import read_wav, write_wav
+from radioframe.ops import demod as demod_op
+from radioframe.ops import nco
+from radioframe.pipelines.rx_chain import RxChain
+
+FS = 192_000.0
+
+
+class TestBlockStream:
+    def test_stream_equals_oneshot(self):
+        chain = RxChain(RxConfig(channels=1))
+        iq, truth = FX.ssb_capture(FS, 8 * chain.min_block, 37_000.0)
+        words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
+        mode = jnp.asarray([demod_op.SSB], jnp.int32)
+
+        st = chain.init_state(1)
+        _, whole, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+
+        bs = BlockStream(chain.step, chain.init_state(1), donate=False)
+        outs, auxs = bs.run((b[None, :] for b in np.split(iq, 8)), words, mode)
+        got = np.concatenate([np.asarray(o) for o in outs], axis=-1)
+        np.testing.assert_allclose(got[:, 512:], np.asarray(whole)[:, 512:], atol=2e-5)
+        assert len(auxs) == 8
+
+    def test_stage_timer(self):
+        t = StageTimer()
+        x = jnp.ones((128, 128))
+        with t.stage("mul", sync_on=x * 2):
+            y = x * 2
+        assert "mul" in t.report()
+        assert sync_value(y) == 2 * 128 * 128
+
+
+class TestCli:
+    def test_rx_and_decode_cw(self, tmp_path):
+        # make a CW capture WAV, demodulate via CLI, decode via CLI
+        from radioframe.ops.decoders import cw_encode_envelope
+
+        env = cw_encode_envelope("CQ TEST", FS, wpm=25.0)
+        n = ((len(env) // 8192) + 1) * 8192
+        env = np.pad(env, (0, n - len(env)))
+        t = np.arange(n) / FS
+        iq = (env * np.exp(2j * np.pi * 7_000.0 * t)).astype(np.complex64)
+        cap = str(tmp_path / "cap.wav")
+        out = str(tmp_path / "audio.wav")
+        write_wav(cap, iq, FS, scale=0.5)
+
+        cmd = [sys.executable, "-m", "radioframe.cli", "rx", "--wav", cap,
+               "--freq", "7000", "--mode", "cw", "--out", out]
+        p = subprocess.run(cmd, capture_output=True, text=True,
+                           env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                                "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        assert p.returncode == 0, p.stderr[-2000:]
+        assert "audio ->" in p.stdout
+
+        p2 = subprocess.run([sys.executable, "-m", "radioframe.cli", "decode",
+                             "--wav", out, "--tone", "600"],
+                            capture_output=True, text=True,
+                            env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                                 "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        assert p2.returncode == 0, p2.stderr[-2000:]
+        assert "CQ TEST" in p2.stdout, p2.stdout
+
+    def test_info(self):
+        p = subprocess.run([sys.executable, "-m", "radioframe.cli", "info"],
+                           capture_output=True, text=True,
+                           env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+                                "PYTHONPATH": "/root/repo", "HOME": "/root"})
+        assert p.returncode == 0
+        assert "default RX chain" in p.stdout
