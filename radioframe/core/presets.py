@@ -1,0 +1,44 @@
+"""Chain presets mirroring the reference's operating points.
+
+The reference front end (SURVEY.md §6): ~61–123 Msps ADC-rate DDC in the
+FPGA decimating to 48/96/192 kHz IQ. These presets give equivalent
+multi-stage decimation plans with CIC-first ordering (big cheap decimation
+early, sharp compensated FIRs late), the same design discipline as the
+FPGA datapath.
+"""
+
+from __future__ import annotations
+
+from radioframe.core.config import CicStage, FirStage, RxConfig
+
+
+def capture_192k(channels: int = 1, **kw) -> RxConfig:
+    """192 kHz IQ capture -> 48 kHz audio (BASELINE config 1)."""
+    return RxConfig(fs_in=192_000.0, channels=channels,
+                    stages=(CicStage(R=2, N=4), FirStage(R=2)), **kw)
+
+
+def wideband_1536k(channels: int = 64, **kw) -> RxConfig:
+    """1.536 Msps wideband -> 48 kHz (the 64-channel sharded-DDC shape)."""
+    return RxConfig(
+        fs_in=1_536_000.0, channels=channels,
+        stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+        **kw)
+
+
+def adc_61m44(channels: int = 1, audio_fs: float = 48_000.0, **kw) -> RxConfig:
+    """Full ADC-rate DDC: 61.44 Msps -> 48 kHz (R=1280), FPGA-style plan:
+
+        CIC(R=32, N=4)  61.44 M -> 1.92 M   (multiplier-free bulk decimation)
+        FIR(R=8)        1.92 M  -> 240 k    (inverse-sinc compensated)
+        FIR(R=5)        240 k   -> 48 k     (sharp anti-alias)
+    """
+    assert audio_fs == 48_000.0
+    return RxConfig(
+        fs_in=61_440_000.0, channels=channels,
+        stages=(
+            CicStage(R=32, N=4),
+            FirStage(R=8, numtaps=129, passband_hz=20_000.0),
+            FirStage(R=5, numtaps=129, passband_hz=20_000.0, stopband_hz=24_000.0),
+        ),
+        **kw)

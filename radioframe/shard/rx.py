@@ -51,11 +51,10 @@ class ShardedRxChain:
         self.chain = chain
         self.mesh = mesh
         self.ca, self.ta = channel_axis, time_axis
-        assert not chain.cfg.emit_spectrum or chain.cfg.spectrum_avg == 0.0, (
-            "sharded spectrum EMA across time shards not yet supported")
-        assert not (chain.cfg.nb_enabled or chain.cfg.nr_enabled or chain.cfg.notch_enabled), (
-            "sharded interference ops (NB/NR/notch) not yet supported — "
-            "their frame-EMA states need cross-shard scans")
+        if chain.cfg.emit_spectrum and chain.cfg.spectrum_avg > 0.0:
+            from radioframe.ops.spectrum import Spectrum
+
+            self._raw_spec = Spectrum(chain.cfg.spectrum_nfft, 0.0)
 
     # ---- per-shard body (runs inside shard_map) ---------------------------
 
@@ -76,10 +75,52 @@ class ShardedRxChain:
             x, _ = dec(prepend, x)
             tails.append(new_carry)
 
+        # noise blanker: running-power affine scan crosses shards
+        nb_state = ()
+        if chain.nb:
+            p = jnp.abs(x).astype(jnp.float32) ** 2
+            avg, nb_state = sharded_affine_scan(
+                chain.nb.pole, (1.0 - chain.nb.pole) * p, state["nb"], ta)
+            mask = p > chain.nb.k2 * jnp.maximum(avg, 1e-12)
+            x = jnp.where(mask, jnp.zeros((), x.dtype), x)
+
         # mode-filter OLS bank: halo at audio rate
         prepend, bpf_carry = _halo_tail(x, state["bpf"], chain.mode_bank.L - 1, ta)
         filt, _ = chain.mode_bank(prepend, x)  # (4, C, Ta_loc)
         sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+
+        # auto-notch: per-bin EMA from the GLOBAL frame mean (psum over time)
+        notch_state = ()
+        if chain.notch:
+            nf = chain.notch.nfft
+            Cn, Tn = sel.shape
+            X = jnp.fft.fft(sel.reshape(Cn, Tn // nf, nf), axis=-1)
+            mag = jnp.abs(X).astype(jnp.float32)
+            F_tot = (Tn // nf) * D
+            gmean = lax.psum(jnp.sum(mag, axis=1), ta) / F_tot
+            new_ema = chain.notch.ema * state["notch"] + (1.0 - chain.notch.ema) * gmean
+            W = chain.notch.W
+            bg = sum(jnp.roll(new_ema, s, axis=-1) for s in range(-W, W + 1) if s != 0) / (2 * W)
+            nmask = new_ema > chain.notch.ratio * jnp.maximum(bg, 1e-9)
+            sel = jnp.fft.ifft(X * jnp.where(nmask[:, None, :], 0.0, 1.0), axis=-1)
+            sel = sel.reshape(Cn, Tn).astype(jnp.complex64)
+            notch_state = new_ema
+
+        # spectral NR: minimum statistics over the GLOBAL block (pmin)
+        nr_state = ()
+        if chain.nr:
+            nf = chain.nr.nfft
+            Cn, Tn = sel.shape
+            X = jnp.fft.fft(sel.reshape(Cn, Tn // nf, nf), axis=-1)
+            mag = jnp.abs(X).astype(jnp.float32)
+            F_tot = (Tn // nf) * D
+            gmin = lax.pmin(jnp.min(mag, axis=1), ta)
+            est = jnp.minimum(state["nr"] * chain.nr.up,
+                              gmin * (chain.nr.bias * float(np.sqrt(F_tot))))
+            gain_nr = jnp.clip(1.0 - chain.nr.beta * est[:, None, :] / jnp.maximum(mag, 1e-9),
+                               chain.nr.floor, 1.0)
+            sel = jnp.fft.ifft(X * gain_nr, axis=-1).reshape(Cn, Tn).astype(jnp.complex64)
+            nr_state = est
 
         Ta_loc = sel.shape[-1]
         # demod bank, sharded: cw NCO at offset; nfm 1-sample halo; am dc scan
@@ -113,15 +154,25 @@ class ShardedRxChain:
         agc_audio = audio * gain
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
 
+        pw = lax.psum(jnp.sum(jnp.abs(iq) ** 2, axis=-1), ta) / (D * T_loc)
         aux = {
             "agc_gain_last": last_shard_value(gain[:, -1], ta),
-            "power_in": lax.psum(jnp.sum(jnp.abs(iq) ** 2, axis=-1), ta) / (D * T_loc),
+            "power_in": jnp.broadcast_to(pw, mode.shape).astype(jnp.float32),
         }
         spec_prev = state["spec"]
         if cfg.emit_spectrum:
-            lines, _ = chain.spectrum(state["spec"], x)
+            if cfg.spectrum_avg > 0.0:
+                db, _ = self._raw_spec(state["spec"], x)  # (C, F_loc, nfft)
+                Cs, Fl, nf = db.shape
+                b = (1.0 - cfg.spectrum_avg) * jnp.moveaxis(db, 1, -1).reshape(Cs * nf, Fl)
+                lines_flat, prev_flat = sharded_affine_scan(
+                    cfg.spectrum_avg, b, state["spec"].reshape(Cs * nf), ta)
+                lines = jnp.moveaxis(lines_flat.reshape(Cs, nf, Fl), -1, 1)
+                spec_prev = prev_flat.reshape(Cs, nf)
+            else:
+                lines, _ = chain.spectrum(state["spec"], x)
+                spec_prev = last_shard_value(lines[:, -1, :], ta)
             aux["spectrum"] = lines
-            spec_prev = last_shard_value(lines[:, -1, :], ta)
 
         new_state = {
             "nco": new_nco,
@@ -130,7 +181,7 @@ class ShardedRxChain:
             "demod": {"cw_phase": new_cw, "am_dc": new_am_dc, "nfm_last": new_nfm_last[:, -1]},
             "agc": new_agc,
             "spec": spec_prev,
-            "nb": (), "nr": (), "notch": (),
+            "nb": nb_state, "nr": nr_state, "notch": notch_state,
         }
         return new_state, audio, aux
 
@@ -145,7 +196,9 @@ class ShardedRxChain:
             "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca)},
             "agc": P(ca),
             "spec": P(ca, None),
-            "nb": (), "nr": (), "notch": (),
+            "nb": P(ca) if self.chain.nb else (),
+            "nr": P(ca, None) if self.chain.nr else (),
+            "notch": P(ca, None) if self.chain.notch else (),
         }
 
     def step(self, state, iq, words, mode):

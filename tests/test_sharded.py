@@ -103,3 +103,33 @@ def test_explicit_device_placement():
     st = chain.init_state(C)
     _, audio, _ = jax.jit(sharded.step)(st, iq, words, mode)
     assert audio.shape == (C, iq.shape[-1] // chain.cfg.decim)
+
+
+def test_sharded_with_fighters_and_ema_spectrum():
+    """NB+NR+notch and EMA waterfall all shard: sharded == unsharded."""
+    C = 4
+    cfg = RxConfig(channels=C, ols_hop=512, emit_spectrum=True, spectrum_avg=0.7,
+                   nb_enabled=True, nr_enabled=True, notch_enabled=True)
+    chain = RxChain(cfg)
+    mesh = jax.make_mesh((2, 4), ("channel", "time"), devices=jax.devices())
+    sharded = ShardedRxChain(chain, mesh)
+    rng = np.random.default_rng(7)
+    T = 8 * chain.min_block
+    iq = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+    words = jnp.asarray(nco.freq_word(np.linspace(-50e3, 50e3, C), FS))
+    mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+
+    st = chain.init_state(C)
+    ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(iq), words, mode)
+    st2 = chain.init_state(C)
+    got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(iq), words, mode)
+    np.testing.assert_allclose(np.asarray(got_audio), np.asarray(ref_audio), atol=1e-3)
+    # NB blanking decisions near the 6-sigma threshold can flip under fp
+    # reassociation, nudging individual spectrum bins — compare statistically
+    dspec = np.abs(np.asarray(got_aux["spectrum"]) - np.asarray(ref_aux["spectrum"]))
+    assert np.mean(dspec > 0.06) < 0.01 and dspec.max() < 1.0, (np.mean(dspec > 0.06), dspec.max())
+    np.testing.assert_allclose(np.asarray(got_st["nr"]), np.asarray(ref_st["nr"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_st["notch"]), np.asarray(ref_st["notch"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_st["nb"]), np.asarray(ref_st["nb"]), rtol=1e-3)
+    dsp = np.abs(np.asarray(got_st["spec"]) - np.asarray(ref_st["spec"]))
+    assert np.mean(dsp > 0.06) < 0.01 and dsp.max() < 1.0
