@@ -19,8 +19,8 @@ from radioframe.ops import nco
 from radioframe.ops.scans import affine_scan
 
 # mode codes (used as per-channel selector in the bank)
-SSB, CW, AM, NFM = 0, 1, 2, 3
-MODE_NAMES = {"ssb": SSB, "cw": CW, "am": AM, "nfm": NFM}
+SSB, CW, AM, NFM, LSB = 0, 1, 2, 3, 4
+MODE_NAMES = {"ssb": SSB, "usb": SSB, "cw": CW, "am": AM, "nfm": NFM, "lsb": LSB}
 
 
 # --- DC blocker ------------------------------------------------------------
@@ -89,7 +89,8 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
     y_am, am_dc = demod_am(state["am_dc"], x)
     y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
-    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])  # (4, C, T)
+    # LSB demod is the same 2*Re after its (negative-band) mode filter
+    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb])  # (5, C, T)
     sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
     new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last}
     return sel.astype(jnp.float32), new_state

@@ -75,6 +75,7 @@ class RxChain:
                 FD.complex_bandpass_taps(mf.numtaps, -mf.cw_halfwidth, mf.cw_halfwidth, fa),
                 FD.complex_bandpass_taps(mf.numtaps, -mf.am_halfwidth, mf.am_halfwidth, fa),
                 FD.complex_bandpass_taps(mf.numtaps, -mf.nfm_halfwidth, mf.nfm_halfwidth, fa),
+                FD.complex_bandpass_taps(mf.numtaps, -mf.ssb_hi, -mf.ssb_lo, fa),  # LSB
             ],
             hop=cfg.ols_hop,
         )
@@ -132,7 +133,7 @@ class RxChain:
         nb_state = state.get("nb", ())
         if self.nb:
             x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter
-        filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (4, C, Ta)
+        filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (5, C, Ta)
         sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
         notch_state = state.get("notch", ())
         if self.notch:

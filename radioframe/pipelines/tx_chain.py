@@ -82,7 +82,8 @@ class TxChain:
         phase = affine_scan(jnp.ones_like(dphi), dphi, state["fm_phase"])
         y_nfm = jnp.exp(1j * phase.astype(jnp.float32)).astype(jnp.complex64)
         new_fm_phase = jnp.mod(phase[:, -1], jnp.float32(TWO_PI))
-        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])  # (4, C, Ta)
+        # LSB = conj of the USB analytic signal (real audio mirror)
+        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, jnp.conj(y_ssb)])  # (5, C, Ta)
         base = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
         # --- interpolate to fs_out -----------------------------------------
         x = base

@@ -86,7 +86,7 @@ class ShardedRxChain:
 
         # mode-filter OLS bank: halo at audio rate
         prepend, bpf_carry = _halo_tail(x, state["bpf"], chain.mode_bank.L - 1, ta)
-        filt, _ = chain.mode_bank(prepend, x)  # (4, C, Ta_loc)
+        filt, _ = chain.mode_bank(prepend, x)  # (5, C, Ta_loc)
         sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
 
         # auto-notch: per-bin EMA from the GLOBAL frame mean (psum over time)
@@ -143,7 +143,7 @@ class ShardedRxChain:
         y_nfm = jnp.arctan2(jnp.imag(dd), jnp.real(dd)) * jnp.float32(
             cfg.fs_audio / (2.0 * np.pi * cfg.nfm_deviation_hz))
 
-        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm])
+        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb])  # [4]=LSB, same 2*Re
         audio = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
         audio = audio.astype(jnp.float32)
 
