@@ -20,7 +20,9 @@ from radioframe.ops.spectrum import snap_to_peak
 from radioframe.pipelines.rx_chain import RxChain
 
 MODE_BY_NAME = dict(demod_op.MODE_NAMES)
-NAME_BY_MODE = {v: k for k, v in MODE_BY_NAME.items()}
+# canonical name per code ("usb" is an alias of "ssb")
+NAME_BY_MODE = {demod_op.SSB: "ssb", demod_op.CW: "cw", demod_op.AM: "am",
+                demod_op.NFM: "nfm", demod_op.LSB: "lsb"}
 
 
 class Radio:

@@ -48,7 +48,8 @@ class ModeFilters:
     cw_halfwidth: float = 250.0
     am_halfwidth: float = 5000.0
     nfm_halfwidth: float = 8000.0
-    numtaps: int = 257
+    # 513 taps + hop 512 -> OLS nfft exactly 1024 (pow2 hop AND pow2 FFT)
+    numtaps: int = 513
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,9 @@ class RxConfig:
     nr_nfft: int = 256
     notch_enabled: bool = False
     notch_nfft: int = 256
+    # FM squelch (gates NFM audio on discriminator HF noise)
+    squelch_enabled: bool = False
+    squelch_threshold: float = 0.5
 
     @property
     def decim(self) -> int:

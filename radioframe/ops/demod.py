@@ -19,8 +19,9 @@ from radioframe.ops import nco
 from radioframe.ops.scans import affine_scan
 
 # mode codes (used as per-channel selector in the bank)
-SSB, CW, AM, NFM, LSB = 0, 1, 2, 3, 4
-MODE_NAMES = {"ssb": SSB, "usb": SSB, "cw": CW, "am": AM, "nfm": NFM, "lsb": LSB}
+SSB, CW, AM, NFM, LSB, SAM = 0, 1, 2, 3, 4, 5
+MODE_NAMES = {"ssb": SSB, "usb": SSB, "cw": CW, "am": AM, "nfm": NFM,
+              "lsb": LSB, "sam": SAM}
 
 
 # --- DC blocker ------------------------------------------------------------
@@ -59,6 +60,51 @@ def demod_am(dc_state, x, pole: float = 0.995):
     return dc_block(dc_state, env, pole)
 
 
+def demod_sam(dc_state, carrier_acc, x, fs: float):
+    """Synchronous AM: block-wise carrier recovery + coherent detection.
+
+    The reference's SAM uses a per-sample PLL (`[U:audio_processor.c]` [MED])
+    — a nonlinear recurrence that fights vector hardware. Block formulation:
+    estimate the residual carrier per block as the angle of the lag-1
+    autocorrelation (a Kay/fitz frequency estimator, exact for a strong
+    carrier), derotate coherently with phase continuity carried in
+    ``carrier_acc`` (float32 radians/sample estimate + accumulated phase),
+    then take Re{} and DC-block. Tracks mistuning within the AM passband.
+
+    carrier_acc: (2, C) float32 — [0]=accumulated phase (rad), [1]=last
+    estimated residual carrier (rad/sample; a tuning-error metric).
+    Returns (audio, new_dc_state, new_carrier_acc).
+    """
+    C, T = x.shape
+    # residual carrier frequency: angle of sum x[n] conj(x[n-1])
+    r1 = jnp.sum(x[:, 1:] * jnp.conj(x[:, :-1]), axis=-1)
+    w = jnp.arctan2(jnp.imag(r1), jnp.real(r1))  # rad/sample
+    n = jnp.arange(T, dtype=jnp.float32)
+    phase = carrier_acc[0][:, None] + w[:, None] * n[None, :]
+    derot = x * jnp.exp(-1j * phase).astype(x.dtype)
+    # align residual constant phase: rotate by mean phasor so carrier -> +Re
+    mean = jnp.sum(derot, axis=-1)
+    mean = mean / jnp.maximum(jnp.abs(mean), 1e-9)
+    coherent = jnp.real(derot * jnp.conj(mean)[:, None])
+    audio, new_dc = dc_block(dc_state, coherent.astype(jnp.float32))
+    new_acc = jnp.stack([jnp.mod(carrier_acc[0] + w * T, jnp.float32(2.0 * np.pi)), w])
+    return audio, new_dc, new_acc
+
+
+def squelch(noise_state, audio, threshold: float = 0.5, pole: float = 0.5):
+    """FM squelch: gate audio on the carrier-to-noise estimate.
+
+    Classic FM squelch measures ultrasonic noise out of the discriminator;
+    block form: noise metric = mean |d audio/dt| (discriminator HF energy),
+    smoothed by a one-pole (affine scan across blocks via carried state).
+    Returns (gated_audio, new_noise_state, open_mask (C,)).
+    """
+    hf = jnp.mean(jnp.abs(jnp.diff(audio, axis=-1)), axis=-1)  # (C,)
+    smoothed = pole * noise_state + (1.0 - pole) * hf  # per-BLOCK one-pole
+    is_open = smoothed < threshold
+    return audio * is_open[:, None], smoothed, is_open
+
+
 def demod_nfm(last, x, fs: float, deviation_hz: float):
     """y[n] = angle(x[n] conj(x[n-1])) * fs/(2π·dev); state = previous sample."""
     xprev = jnp.concatenate([last[:, None], x[:, :-1]], axis=-1)
@@ -75,7 +121,14 @@ def bank_init(num_channels: int):
         "cw_phase": nco.init_state(num_channels),
         "am_dc": dc_block_init(num_channels),
         "nfm_last": jnp.ones((num_channels,), dtype=jnp.complex64),
+        "sam_dc": dc_block_init(num_channels),
+        "sam_carrier": jnp.zeros((2, num_channels), dtype=jnp.float32),
     }
+
+
+def filter_index(mode):
+    """Mode code -> mode-filter bank row (SAM shares the AM filter)."""
+    return jnp.where(mode == SAM, AM, mode).astype(jnp.int32)
 
 
 def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float = 2500.0):
@@ -89,8 +142,10 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
     y_am, am_dc = demod_am(state["am_dc"], x)
     y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
+    y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
     # LSB demod is the same 2*Re after its (negative-band) mode filter
-    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb])  # (5, C, T)
+    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # (6, C, T)
     sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
-    new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last}
+    new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last,
+                 "sam_dc": sam_dc, "sam_carrier": sam_carrier}
     return sel.astype(jnp.float32), new_state

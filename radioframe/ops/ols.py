@@ -30,7 +30,9 @@ class OverlapSave:
         if nfft is None:
             if hop is None:
                 hop = 1 << int(np.ceil(np.log2(max(4 * self.L, 256))))
-            nfft = hop + self.L - 1
+            # power-of-2 FFT only: TPU FFT lowers non-pow2 sizes via costly
+            # expansions (Bluestein) — round up and widen the hop instead
+            nfft = 1 << int(np.ceil(np.log2(hop + self.L - 1)))
         self.nfft = int(nfft)
         self.hop = self.nfft - (self.L - 1)
         assert self.hop > 0, "nfft must exceed taps length"
@@ -70,7 +72,7 @@ class OverlapSaveBank:
         if nfft is None:
             if hop is None:
                 hop = 1 << int(np.ceil(np.log2(max(4 * L, 256))))
-            nfft = hop + L - 1
+            nfft = 1 << int(np.ceil(np.log2(hop + L - 1)))  # pow2 (see OverlapSave)
         self.nfft = int(nfft)
         self.hop = self.nfft - (L - 1)
         assert self.hop > 0

@@ -115,6 +115,7 @@ class RxChain:
             "nb": self.nb.init_state(C) if self.nb else (),
             "nr": self.nr.init_state(C) if self.nr else (),
             "notch": self.notch.init_state(C) if self.notch else (),
+            "squelch": jnp.zeros((C,), jnp.float32) if self.cfg.squelch_enabled else (),
         }
 
     # -- the block program ---------------------------------------------------
@@ -134,7 +135,7 @@ class RxChain:
         if self.nb:
             x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter
         filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (5, C, Ta)
-        sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        sel = jnp.take_along_axis(filt, demod_op.filter_index(mode)[None, :, None], axis=0)[0]
         notch_state = state.get("notch", ())
         if self.notch:
             sel, notch_state = self.notch(state["notch"], sel)
@@ -150,6 +151,11 @@ class RxChain:
         agc_audio, agc_env, agc_gain = agc_op.apply(
             state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+        sq_state = state.get("squelch", ())
+        if cfg.squelch_enabled:
+            gated, sq_state, sq_open = demod_op.squelch(
+                state["squelch"], audio, cfg.squelch_threshold)
+            audio = jnp.where((mode == demod_op.NFM)[:, None], gated, audio)
         # iq may be (1, T) broadcast across C channels; report per channel
         pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
         aux = {"agc_gain_last": agc_gain[:, -1],
@@ -169,5 +175,6 @@ class RxChain:
             "nb": nb_state,
             "nr": nr_state,
             "notch": notch_state,
+            "squelch": sq_state,
         }
         return new_state, audio, aux

@@ -87,7 +87,7 @@ class ShardedRxChain:
         # mode-filter OLS bank: halo at audio rate
         prepend, bpf_carry = _halo_tail(x, state["bpf"], chain.mode_bank.L - 1, ta)
         filt, _ = chain.mode_bank(prepend, x)  # (5, C, Ta_loc)
-        sel = jnp.take_along_axis(filt, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        sel = jnp.take_along_axis(filt, demod_op.filter_index(mode)[None, :, None], axis=0)[0]
 
         # auto-notch: per-bin EMA from the GLOBAL frame mean (psum over time)
         notch_state = ()
@@ -143,7 +143,30 @@ class ShardedRxChain:
         y_nfm = jnp.arctan2(jnp.imag(dd), jnp.real(dd)) * jnp.float32(
             cfg.fs_audio / (2.0 * np.pi * cfg.nfm_deviation_hz))
 
-        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb])  # [4]=LSB, same 2*Re
+        # SAM: global lag-1 autocorrelation (psum; shard 0 drops the term
+        # that would reach before the block), coherent derotation, dc scan
+        lag1_pre, _ = _halo_tail(sel, jnp.zeros((sel.shape[0], 1), sel.dtype), 1, ta)
+        xl = jnp.concatenate([lag1_pre, sel[:, :-1]], axis=-1)
+        prods = sel * jnp.conj(xl)
+        first_w = jnp.where(d == 0, 0.0, 1.0)
+        prods = prods.at[:, 0].multiply(first_w)
+        r1 = lax.psum(jnp.sum(prods, axis=-1), ta)
+        w_c = jnp.arctan2(jnp.imag(r1), jnp.real(r1))
+        n_loc = d * jnp.int32(Ta_loc) + jnp.arange(Ta_loc, dtype=jnp.int32)
+        sam_phase = state["demod"]["sam_carrier"][0][:, None] + w_c[:, None] * n_loc.astype(jnp.float32)[None, :]
+        derot = sel * jnp.exp(-1j * sam_phase).astype(sel.dtype)
+        meanp = lax.psum(jnp.sum(derot, axis=-1), ta)
+        meanp = meanp / jnp.maximum(jnp.abs(meanp), 1e-9)
+        coherent = jnp.real(derot * jnp.conj(meanp)[:, None]).astype(jnp.float32)
+        sam_prev_pre, new_sam_x = _halo_tail(coherent, state["demod"]["sam_dc"][0][:, None], 1, ta)
+        sam_b = coherent - jnp.concatenate([sam_prev_pre, coherent[:, :-1]], axis=-1)
+        y_sam, new_sam_y = sharded_affine_scan(0.995, sam_b, state["demod"]["sam_dc"][1], ta)
+        new_sam_dc = jnp.stack([new_sam_x[:, -1], new_sam_y])
+        new_sam_carrier = jnp.stack([
+            jnp.mod(state["demod"]["sam_carrier"][0] + w_c * (D * Ta_loc),
+                    jnp.float32(2.0 * np.pi)), w_c])
+
+        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # [4]=LSB
         audio = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
         audio = audio.astype(jnp.float32)
 
@@ -153,6 +176,17 @@ class ShardedRxChain:
                            jnp.float32(cfg.agc.target) / jnp.maximum(env, jnp.float32(1e-9)))
         agc_audio = audio * gain
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
+        sq_state = ()
+        if cfg.squelch_enabled:
+            # discriminator HF noise: global mean |diff| (1-sample halo + psum)
+            dpre, _ = _halo_tail(audio, jnp.zeros((audio.shape[0], 1), audio.dtype), 1, ta)
+            diffs = jnp.abs(audio - jnp.concatenate([dpre, audio[:, :-1]], axis=-1))
+            diffs = diffs.at[:, 0].multiply(jnp.where(d == 0, 0.0, 1.0))
+            hf = lax.psum(jnp.sum(diffs, axis=-1), ta) / (D * audio.shape[-1] - 1)
+            sq_state = 0.5 * state["squelch"] + 0.5 * hf  # match demod_op.squelch
+            is_open = sq_state < cfg.squelch_threshold
+            audio = jnp.where((mode == demod_op.NFM)[:, None],
+                              audio * is_open[:, None], audio)
 
         pw = lax.psum(jnp.sum(jnp.abs(iq) ** 2, axis=-1), ta) / (D * T_loc)
         aux = {
@@ -178,10 +212,13 @@ class ShardedRxChain:
             "nco": new_nco,
             "decim": tuple(tails),
             "bpf": bpf_carry,
-            "demod": {"cw_phase": new_cw, "am_dc": new_am_dc, "nfm_last": new_nfm_last[:, -1]},
+            "demod": {"cw_phase": new_cw, "am_dc": new_am_dc,
+                      "nfm_last": new_nfm_last[:, -1],
+                      "sam_dc": new_sam_dc, "sam_carrier": new_sam_carrier},
             "agc": new_agc,
             "spec": spec_prev,
             "nb": nb_state, "nr": nr_state, "notch": notch_state,
+            "squelch": sq_state,
         }
         return new_state, audio, aux
 
@@ -193,12 +230,14 @@ class ShardedRxChain:
             "nco": P(ca),
             "decim": tuple(P(ca, None) for _ in self.chain.decimators),
             "bpf": P(ca, None),
-            "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca)},
+            "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca),
+                      "sam_dc": P(None, ca), "sam_carrier": P(None, ca)},
             "agc": P(ca),
             "spec": P(ca, None),
             "nb": P(ca) if self.chain.nb else (),
             "nr": P(ca, None) if self.chain.nr else (),
             "notch": P(ca, None) if self.chain.notch else (),
+            "squelch": P(ca) if self.chain.cfg.squelch_enabled else (),
         }
 
     def step(self, state, iq, words, mode):

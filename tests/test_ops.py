@@ -156,7 +156,7 @@ class TestOLS:
     def test_streaming(self, rng):
         taps = FD.lowpass_taps(129, 3000.0, 48000.0)
         op = OverlapSave(taps, hop=256)
-        x = _iq(rng, 1, 1024)
+        x = _iq(rng, 1, 4 * op.hop)
         whole, _ = op(op.init_state(1), jnp.asarray(x))
         st = op.init_state(1)
         outs = []

@@ -176,3 +176,45 @@ class TestLSB:
             neg = np.sum(np.abs(X[f < -100]) ** 2)
             ratio = (pos / neg) if expect_side > 0 else (neg / pos)
             assert 10 * np.log10(ratio) > 30.0, (m, ratio)
+
+
+class TestSamSquelch:
+    def test_sam_tracks_mistuned_am(self):
+        """SAM demodulates a 120 Hz-mistuned AM signal coherently AND its
+        carrier estimator reports the tuning error (the S-meter/snap input)."""
+        n = 96 * 2048
+        iq, truth = FX.am_capture(FS, n, 20_000.0)
+        chain = RxChain(RxConfig(channels=1))
+        words = jnp.asarray([nco.freq_word(20_120.0, FS)], jnp.int32)  # 120 Hz off
+        mode = jnp.asarray([demod_op.SAM], jnp.int32)
+        st = chain.init_state(1)
+        st, audio, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        audio = np.asarray(audio)
+        settle = 32 * 1024
+        snr_sam = audio_snr_db(truth[settle:], audio[0][settle:], trim=1024)
+        assert snr_sam > 20.0, f"SAM {snr_sam:.1f} dB"
+        # carrier estimator: residual = -120 Hz at the 48 kHz audio rate
+        w_est = float(np.asarray(st["demod"]["sam_carrier"])[1, 0])
+        w_true = -2 * np.pi * 120.0 / 48_000.0
+        assert abs(w_est - w_true) < 0.1 * abs(w_true), (w_est, w_true)
+
+    def test_squelch_gates_noise(self):
+        """No-signal NFM channel mutes with squelch; strong signal opens it."""
+        n = 96 * 2048
+        cfg = RxConfig(channels=1, squelch_enabled=True, squelch_threshold=0.5)
+        chain = RxChain(cfg)
+        words = jnp.asarray([nco.freq_word(-15_000.0, FS)], jnp.int32)
+        mode = jnp.asarray([demod_op.NFM], jnp.int32)
+        rng = np.random.default_rng(3)
+        noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64) * 0.1
+        st = chain.init_state(1)
+        step = jax.jit(chain.step)
+        # two noise blocks: the squelch estimate converges, audio mutes
+        for _ in range(3):
+            st, audio, _ = step(st, jnp.asarray(noise[None, :]), words, mode)
+        assert np.mean(np.abs(np.asarray(audio))) < 1e-6, "squelch failed to mute noise"
+        # now a real NFM signal opens the squelch (estimate decays over blocks)
+        iq, truth = FX.nfm_capture(FS, n, -15_000.0)
+        for _ in range(6):
+            st, audio, _ = step(st, jnp.asarray(iq[None, :]), words, mode)
+        assert np.mean(np.abs(np.asarray(audio))) > 0.05, "squelch failed to open"

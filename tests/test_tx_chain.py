@@ -77,7 +77,7 @@ class TestDuplexLoopback:
         out = self._loopback("ssb", audio, 25_000.0, 25_000.0, neutral_agc=True)
         # reference = audio through the TX and RX SSB bandpass (band-edge
         # energy of the voice-band noise is removed twice, by design)
-        bpf = FD.complex_bandpass_taps(257, 300.0, 2700.0, FS_AUDIO)
+        bpf = FD.complex_bandpass_taps(513, 300.0, 2700.0, FS_AUDIO)  # match chain ModeFilters.numtaps
         ref, _ = G.ols_filter(audio.astype(np.complex128), bpf)
         ref, _ = G.ols_filter(ref, bpf)
         ref = 4.0 * np.real(ref)
