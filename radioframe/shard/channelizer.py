@@ -72,7 +72,8 @@ class ShardedChannelizer:
         ax = self.axis
         return {
             "pfb": P(None, None),  # replicated carry
-            "demod": {"cw_phase": P(ax), "am_dc": P(None, ax), "nfm_last": P(ax)},
+            "demod": {"cw_phase": P(ax), "am_dc": P(None, ax), "nfm_last": P(ax),
+                      "sam_dc": P(None, ax), "sam_carrier": P(None, ax)},
             "agc": P(ax),
             "spec": P(None, None),
         }
