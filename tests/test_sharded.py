@@ -132,8 +132,8 @@ def test_sharded_with_fighters_and_ema_spectrum():
     # reassociation, nudging individual spectrum bins — compare statistically
     dspec = np.abs(np.asarray(got_aux["spectrum"]) - np.asarray(ref_aux["spectrum"]))
     assert np.mean(dspec > 0.06) < 0.01 and dspec.max() < 1.0, (np.mean(dspec > 0.06), dspec.max())
-    np.testing.assert_allclose(np.asarray(got_st["nr"]), np.asarray(ref_st["nr"]), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_st["notch"]), np.asarray(ref_st["notch"]), rtol=1e-4)
-    np.testing.assert_allclose(np.asarray(got_st["nb"]), np.asarray(ref_st["nb"]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_st["nr"]), np.asarray(ref_st["nr"]), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_st["notch"]), np.asarray(ref_st["notch"]), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_st["nb"]), np.asarray(ref_st["nb"]), rtol=5e-3)
     dsp = np.abs(np.asarray(got_st["spec"]) - np.asarray(ref_st["spec"]))
     assert np.mean(dsp > 0.06) < 0.01 and dsp.max() < 1.0
