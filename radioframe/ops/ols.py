@@ -17,6 +17,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _overlapped_frames(xp, F: int, S: int, nfft: int):
+    """(C, F*S + nfft - S) -> (C, F, nfft) frames at hop S.
+
+    When S divides nfft the overlap factor m = nfft/S is an integer and the
+    frames are a concatenation of m hop-strided segment views — pure
+    reshapes/slices, no gather (gathers are slow on TPU). Falls back to a
+    gather for irregular geometries.
+    """
+    C = xp.shape[0]
+    if nfft % S == 0:
+        m = nfft // S
+        n_seg = F + m - 1
+        segs = xp[:, : n_seg * S].reshape(C, n_seg, S)
+        return jnp.concatenate([segs[:, i : i + F, :] for i in range(m)], axis=-1)
+    idx = (jnp.arange(F)[:, None] * S + jnp.arange(nfft)[None, :])
+    return xp[:, idx]
+
+
 class OverlapSave:
     """Streaming OLS filter. State = last L-1 input samples per channel.
 
@@ -48,9 +66,13 @@ class OverlapSave:
         assert T % S == 0, f"block length {T} must be a multiple of OLS hop {S}"
         F = T // S
         xp = jnp.concatenate([tail, x], axis=-1)  # (C, T + L - 1)
-        # overlapped frames: frame f covers xp[f*S : f*S + nfft]
-        idx = (jnp.arange(F)[:, None] * S + jnp.arange(self.nfft)[None, :])  # (F, nfft)
-        frames = xp[:, idx]  # (C, F, nfft)
+        # frame f covers xp[f*S : f*S + nfft]; need F*S + (nfft - S) samples
+        pad = F * S + self.nfft - S - xp.shape[-1]
+        if pad > 0:
+            xp_f = jnp.pad(xp, ((0, 0), (0, pad)))
+        else:
+            xp_f = xp
+        frames = _overlapped_frames(xp_f, F, S, self.nfft)  # (C, F, nfft)
         Y = jnp.fft.fft(frames, axis=-1) * jnp.asarray(self._H)
         y = jnp.fft.ifft(Y, axis=-1)[:, :, self.L - 1:]  # (C, F, S)
         y = y.reshape(C, T).astype(jnp.complex64)
@@ -89,8 +111,9 @@ class OverlapSaveBank:
         assert T % S == 0, f"block length {T} must be a multiple of OLS hop {S}"
         F = T // S
         xp = jnp.concatenate([tail, x], axis=-1)
-        idx = (jnp.arange(F)[:, None] * S + jnp.arange(self.nfft)[None, :])
-        frames = jnp.fft.fft(xp[:, idx], axis=-1)  # (C, F, nfft)
+        pad = F * S + self.nfft - S - xp.shape[-1]
+        xp_f = jnp.pad(xp, ((0, 0), (0, pad))) if pad > 0 else xp
+        frames = jnp.fft.fft(_overlapped_frames(xp_f, F, S, self.nfft), axis=-1)  # (C, F, nfft)
         Y = frames[None] * jnp.asarray(self._H)[:, None, None, :]  # (K, C, F, nfft)
         y = jnp.fft.ifft(Y, axis=-1)[..., self.L - 1:]
         y = y.reshape(self._H.shape[0], C, T).astype(jnp.complex64)
