@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 TWO_PI = 2.0 * np.pi
 _SCALE = np.float32(2.0 ** -32)
@@ -43,14 +44,46 @@ def phase_ramp(word, phase_acc, T: int):
     return acc.astype(jnp.float32) * (_SCALE * np.float32(TWO_PI)), acc
 
 
+_GROUP = 128  # oscillator factorization group size
+
+
+def _osc(word, base_acc, T: int, sign: float):
+    """e^{sign*j*2π*(base + word*n)/2^32} for n in [0, T) — factorized.
+
+    sin/cos are the VPU's slowest ops; the DDS phase is affine in n, so the
+    oscillator factorizes exactly (exp is 2π-periodic, int32 wrap included):
+
+        osc[m*K + k] = exp(j·θ(base + word*K*m)) * exp(j·θ(word*k))
+
+    cutting transcendental count from T to T/K + K per channel, replaced by
+    one complex multiply per sample. Falls back to the direct form when K
+    doesn't divide T.
+    """
+    C = int(np.broadcast_shapes(word.shape, base_acc.shape)[0])
+    K = _GROUP
+    s = np.float32(sign) * _SCALE * np.float32(TWO_PI)
+    if T % K != 0 or T < 2 * K:
+        n = jnp.arange(T, dtype=jnp.int32)
+        ang = (base_acc[:, None] + word[:, None] * n[None, :]).astype(jnp.float32) * s
+        return lax.complex(jnp.cos(ang), jnp.sin(ang))
+    M = T // K
+    m = jnp.arange(M, dtype=jnp.int32)
+    k = jnp.arange(K, dtype=jnp.int32)
+    coarse = (base_acc[:, None] + (word * jnp.int32(K))[:, None] * m[None, :]).astype(jnp.float32) * s
+    fine = (word[:, None] * k[None, :]).astype(jnp.float32) * s
+    e1 = lax.complex(jnp.cos(coarse), jnp.sin(coarse))  # (C, M)
+    e2 = lax.complex(jnp.cos(fine), jnp.sin(fine))      # (C, K)
+    osc = e1[:, :, None] * e2[:, None, :]               # (C, M, K)
+    return osc.reshape(C, T)
+
+
 def mix_down(x, word, phase_acc):
     """y = x * e^{-j phase}; returns (y, new_phase_acc).
 
     ``word`` per channel; a signal at +f Hz (word=freq_word(f, fs)) lands at DC.
     """
     T = x.shape[-1]
-    angle, _ = phase_ramp(word, phase_acc, T)
-    osc = jnp.cos(angle) - 1j * jnp.sin(angle)
+    osc = _osc(word, phase_acc, T, -1.0)
     new_acc = phase_acc + word * jnp.int32(T)  # wraps — exact continuity
     return x * osc.astype(x.dtype), new_acc
 
@@ -65,24 +98,19 @@ def mix_down_at(x, word, phase_acc, sample_offset):
     """
     T = x.shape[-1]
     base = phase_acc + word * sample_offset.astype(jnp.int32)
-    angle, _ = phase_ramp(word, base, T)
-    osc = jnp.cos(angle) - 1j * jnp.sin(angle)
-    return x * osc.astype(x.dtype)
+    return x * _osc(word, base, T, -1.0).astype(x.dtype)
 
 
 def mix_up_at(x, word, phase_acc, sample_offset):
     """mix_up at a sample offset (see mix_down_at)."""
     T = x.shape[-1]
     base = phase_acc + word * sample_offset.astype(jnp.int32)
-    angle, _ = phase_ramp(word, base, T)
-    osc = jnp.cos(angle) + 1j * jnp.sin(angle)
-    return x * osc.astype(x.dtype)
+    return x * _osc(word, base, T, 1.0).astype(x.dtype)
 
 
 def mix_up(x, word, phase_acc):
     """y = x * e^{+j phase} (DUC direction); returns (y, new_phase_acc)."""
     T = x.shape[-1]
-    angle, _ = phase_ramp(word, phase_acc, T)
-    osc = jnp.cos(angle) + 1j * jnp.sin(angle)
+    osc = _osc(word, phase_acc, T, 1.0)
     new_acc = phase_acc + word * jnp.int32(T)
     return x * osc.astype(x.dtype), new_acc

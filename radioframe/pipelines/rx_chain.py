@@ -142,7 +142,7 @@ class RxChain:
         nr_state = state.get("nr", ())
         if self.nr:
             sel, nr_state = self.nr(state["nr"], sel)
-        cw_word = jnp.full(iq.shape[0], self.cw_tone_word, jnp.int32)
+        cw_word = jnp.full(mode.shape[0], self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
         # AGC on SSB/CW/AM; FM audio is amplitude-invariant (deviation-scaled)

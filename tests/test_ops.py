@@ -37,11 +37,13 @@ class TestNCO:
         x = _iq(rng, 1, 2048)
         w = jnp.asarray(nco.freq_word(1234.5, fs))[None]
         acc = nco.init_state(1)
-        y1, acc1 = nco.mix_down(jnp.asarray(x[:, :1000]), w, acc)
-        y2, _ = nco.mix_down(jnp.asarray(x[:, 1000:]), w, acc1)
+        # split on a multiple of the oscillator factorization group (128) so
+        # the int32 phase grids coincide -> bit-exact continuation
+        y1, acc1 = nco.mix_down(jnp.asarray(x[:, :1024]), w, acc)
+        y2, _ = nco.mix_down(jnp.asarray(x[:, 1024:]), w, acc1)
         whole, _ = nco.mix_down(jnp.asarray(x), w, acc)
         got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
-        np.testing.assert_array_equal(got[:, 1000:], np.asarray(whole)[:, 1000:])
+        np.testing.assert_array_equal(got[:, 1024:], np.asarray(whole)[:, 1024:])
 
     def test_long_stream_no_phase_drift(self, rng):
         # 100 blocks of 4096: int32 accumulator keeps phase exact vs float64
