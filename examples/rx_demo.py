@@ -19,7 +19,7 @@ def main():
     ap.add_argument("--channels", type=int, default=4)
     ap.add_argument("--snr", type=float, default=None)
     ap.add_argument("--tpu", action="store_true", help="run on the real TPU (default: CPU)")
-    ap.add_argument("--blocks", type=int, default=8)
+    ap.add_argument("--blocks", type=int, default=96)
     args = ap.parse_args()
 
     if not args.tpu:
@@ -71,7 +71,7 @@ def main():
     t2 = time.perf_counter()
     audio = np.asarray(audio)
 
-    settle = 32 * 1024 if audio.shape[-1] > 48 * 1024 else 0
+    settle = 32 * 1024 if audio.shape[-1] >= 48 * 1024 else 0
     print(f"devices: {jax.devices()}  channels: {C}")
     print(f"compile+run {t1-t0:.2f} s, steady-state run {t2-t1:.3f} s "
           f"({n * C / (t2-t1) / 1e6:.1f} M chan-samples/s)")
