@@ -88,3 +88,25 @@ class TestCheckpointResume:
         b4 = r2.process(blocks[3])
         np.testing.assert_array_equal(a3, b3)
         np.testing.assert_array_equal(a4, b4)
+
+
+class TestRadioOnMesh:
+    def test_radio_with_sharded_backend(self):
+        import jax
+
+        from radioframe.api.radio import Radio
+
+        mesh = jax.make_mesh((2, 4), ("channel", "time"), devices=jax.devices())
+        r = Radio(RxConfig(channels=4), mesh=mesh)
+        r.tune(0, 37_000.0)
+        r.set_mode(0, "ssb")
+        iq, truth = FX.ssb_capture(FS, 8 * r.chain.min_block, 37_000.0)
+        audio = r.process(np.broadcast_to(iq, (4, len(iq))).copy())
+        assert audio.shape == (4, len(iq) // 4)
+        assert "power_in" in r.metrics()
+        # must match the unsharded Radio exactly (post AGC warm-up)
+        r2 = Radio(RxConfig(channels=4))
+        r2.tune(0, 37_000.0)
+        r2.set_mode(0, "ssb")
+        ref = r2.process(np.broadcast_to(iq, (4, len(iq))).copy())
+        np.testing.assert_allclose(audio[:, 512:], ref[:, 512:], atol=1e-3)
