@@ -22,7 +22,7 @@ from radioframe.pipelines.rx_chain import RxChain
 MODE_BY_NAME = dict(demod_op.MODE_NAMES)
 # canonical name per code ("usb" is an alias of "ssb")
 NAME_BY_MODE = {demod_op.SSB: "ssb", demod_op.CW: "cw", demod_op.AM: "am",
-                demod_op.NFM: "nfm", demod_op.LSB: "lsb"}
+                demod_op.NFM: "nfm", demod_op.LSB: "lsb", demod_op.SAM: "sam"}
 
 
 class Radio:
@@ -48,11 +48,13 @@ class Radio:
         self._step = jax.jit(self._impl.step)
         self.state = self.chain.init_state(C)
         self.last_aux = None
+        self._words_dev = None  # cached device array; invalidated by tune()
 
     # -- control plane (SURVEY §3.4: runtime arrays, no recompile) ----------
 
     def tune(self, channel: int, freq_hz: float):
         self._freqs[channel] = freq_hz
+        self._words_dev = None
 
     def frequency(self, channel: int) -> float:
         return float(self._freqs[channel])
@@ -70,7 +72,9 @@ class Radio:
         iq = jnp.asarray(iq_block, jnp.complex64)
         if iq.ndim == 1:
             iq = iq[None, :]
-        words = jnp.asarray(nco.freq_word(self._freqs, self.config.fs_in))
+        if self._words_dev is None:
+            self._words_dev = jnp.asarray(nco.freq_word(self._freqs, self.config.fs_in))
+        words = self._words_dev
         modes = jnp.asarray(self._modes)
         self.state, audio, aux = self._step(self.state, iq, words, modes)
         self.last_aux = aux
@@ -100,6 +104,7 @@ class Radio:
         # directly the tuning error relative to the current frequency
         off = snap_to_peak(line, self.config.fs_audio, search_hz, self.config.spectrum_nfft)
         self._freqs[channel] += float(np.asarray(off)[channel])
+        self._words_dev = None
         return self._freqs[channel]
 
     # -- persistence ---------------------------------------------------------
@@ -124,4 +129,5 @@ class Radio:
         self.state = restored["state"]
         self._freqs = np.asarray(restored["freqs"]).astype(np.float64)
         self._modes = np.asarray(restored["modes"]).astype(np.int32)
+        self._words_dev = None
         return epoch

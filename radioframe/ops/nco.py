@@ -36,14 +36,6 @@ def init_state(num_channels: int):
     return jnp.zeros((num_channels,), dtype=jnp.int32)
 
 
-def phase_ramp(word, phase_acc, T: int):
-    """(C,) int32 word + (C,) int32 phase -> (C, T) float32 angle in radians."""
-    n = jnp.arange(T, dtype=jnp.int32)
-    # int32 multiply wraps mod 2^32 — exactly the DDS accumulator semantics
-    acc = phase_acc[:, None] + word[:, None] * n[None, :]
-    return acc.astype(jnp.float32) * (_SCALE * np.float32(TWO_PI)), acc
-
-
 _GROUP = 128  # oscillator factorization group size
 
 
