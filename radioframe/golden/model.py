@@ -186,6 +186,36 @@ def demod_am(x: np.ndarray, dc_state=None):
     return dc_block(env, 0.995, dc_state)
 
 
+def demod_sam(x: np.ndarray, fs: float, dc_state=None, phase0: float = 0.0):
+    """Synchronous AM, block-wise carrier recovery (mirrors ops.demod.demod_sam).
+
+    Residual carrier = angle of the lag-1 autocorrelation; derotate with
+    carried phase, align the mean phasor, Re{}, DC block.
+    Returns (audio, dc_state, (phase_end, w)).
+    """
+    x = np.asarray(x, dtype=np.complex128)
+    r1 = np.sum(x[1:] * np.conj(x[:-1]))
+    w = float(np.angle(r1))
+    n = np.arange(len(x), dtype=np.float64)
+    derot = x * np.exp(-1j * (phase0 + w * n))
+    mean = derot.sum()
+    mean = mean / max(abs(mean), 1e-9)
+    coherent = np.real(derot * np.conj(mean))
+    audio, dc_state = dc_block(coherent, 0.995, dc_state)
+    phase_end = float((phase0 + w * len(x)) % (2.0 * np.pi))
+    return audio, dc_state, (phase_end, w)
+
+
+def squelch(audio: np.ndarray, noise_state: float = 0.0, threshold: float = 0.5,
+            pole: float = 0.5):
+    """FM squelch (mirrors ops.demod.squelch): per-block one-pole on the
+    mean |diff| discriminator-noise metric; gate when above threshold."""
+    hf = float(np.mean(np.abs(np.diff(audio))))
+    smoothed = pole * noise_state + (1.0 - pole) * hf
+    is_open = smoothed < threshold
+    return audio * is_open, smoothed, is_open
+
+
 def demod_nfm(x: np.ndarray, fs: float, deviation_hz: float, last=None):
     """NFM: phase-differentiate, scale so ±deviation maps to ±1.
 

@@ -193,3 +193,26 @@ class TestDemod:
         np.testing.assert_allclose(np.asarray(y)[0], 2 * np.real(x[0]), atol=1e-5)
         ref_nfm, _ = G.demod_nfm(x[3].astype(np.complex128), 48000.0, 2500.0)
         np.testing.assert_allclose(np.asarray(y)[3], ref_nfm, atol=1e-3)
+
+
+class TestSamGoldenParity:
+    def test_sam_vs_golden(self, rng):
+        # mistuned AM baseband: carrier at +90 Hz with 600 Hz tone
+        fs = 48_000.0
+        t = np.arange(4096) / fs
+        base = (1.0 + 0.8 * np.sin(2 * np.pi * 600.0 * t)) * np.exp(2j * np.pi * 90.0 * t)
+        x = np.stack([base, 0.5 * base]).astype(np.complex64)
+        y, dc, acc = demod_op.demod_sam(
+            demod_op.dc_block_init(2), jnp.zeros((2, 2), jnp.float32), jnp.asarray(x), fs)
+        for c in range(2):
+            ref, _, (ph, w) = G.demod_sam(x[c].astype(np.complex128), fs)
+            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=2e-3)
+            np.testing.assert_allclose(float(np.asarray(acc)[1, c]), w, atol=1e-6)
+
+    def test_squelch_vs_golden(self, rng):
+        audio = rng.standard_normal((1, 2048)).astype(np.float32) * 3.0
+        y, ns, is_open = demod_op.squelch(jnp.zeros(1, jnp.float32), jnp.asarray(audio))
+        ref_y, ref_ns, ref_open = G.squelch(audio[0].astype(np.float64))
+        np.testing.assert_allclose(np.asarray(y)[0], ref_y, atol=1e-4)
+        np.testing.assert_allclose(float(np.asarray(ns)[0]), ref_ns, rtol=1e-4)
+        assert bool(np.asarray(is_open)[0]) == ref_open
