@@ -33,7 +33,8 @@ TARGET_PER_CHIP = 10e9 / 16  # BASELINE: >=10 Gsps aggregate on v5p-16
 
 def main():
     C = 128          # channels (TPU lane width)
-    blocks = 16      # timed iterations
+    blocks = 64      # timed iterations (one dispatch; amortizes the axon
+                     # tunnel's ~20-30 ms execute round trip)
     cfg = RxConfig(
         fs_in=1_536_000.0,
         channels=C,
