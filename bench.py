@@ -40,6 +40,8 @@ def main():
         channels=C,
         stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
         ols_hop=512,
+        fuse_frontend=True,  # fused NCO+CIC Pallas kernel (stage timing showed
+                             # the full-rate front end was 68% of chain compute)
     )
     chain = RxChain(cfg)
     T = 8 * chain.min_block

@@ -65,6 +65,9 @@ class RxConfig:
     nfm_deviation_hz: float = 2500.0
     ols_hop: int = 512
     use_pallas_fir: bool = False  # Pallas kernel for real-tap decim stages
+    # fuse NCO mix + first decimator into one Pallas kernel (saves the
+    # full-ADC-rate HBM round trips; see kernels/fused_frontend.py)
+    fuse_frontend: bool = False
     spectrum_nfft: int = 1024
     spectrum_avg: float = 0.0
     emit_spectrum: bool = False

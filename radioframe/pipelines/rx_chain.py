@@ -41,12 +41,14 @@ class RxChain:
                 return PallasFirDecimator(taps, R)
             return FirDecimator(taps, R)
 
+        self._stage_taps = []  # real taps per stage (for kernel swap-ins)
         for st in cfg.stages:
             if isinstance(st, CicStage):
-                if cfg.use_pallas_fir:
-                    from radioframe.ops.filter_design import cic_equivalent_taps
+                from radioframe.ops.filter_design import cic_equivalent_taps
 
-                    self.decimators.append(_mk_decim(cic_equivalent_taps(st.R, st.N, st.M), st.R))
+                self._stage_taps.append(cic_equivalent_taps(st.R, st.N, st.M))
+                if cfg.use_pallas_fir:
+                    self.decimators.append(_mk_decim(self._stage_taps[-1], st.R))
                 else:
                     self.decimators.append(cic_decimator(st.R, st.N, st.M))
                 prev_cic = st
@@ -61,12 +63,24 @@ class RxChain:
                     )
                 else:
                     taps = FD.lowpass_taps(st.numtaps, min(st.passband_hz, stop), fs)
+                self._stage_taps.append(taps)
                 self.decimators.append(_mk_decim(taps, st.R))
                 prev_cic = None
                 fs /= st.R
             else:
                 raise TypeError(f"unknown stage {st!r}")
         assert abs(fs - cfg.fs_audio) < 1e-6
+        # fused NCO+decimator front end (kernels/fused_frontend.py): replaces
+        # nco.mix_down + decimators[0] with one Pallas pass over the raw IQ
+        self.fused = None
+        if cfg.fuse_frontend and self.decimators:
+            import jax
+
+            from radioframe.kernels.fused_frontend import FusedFrontend
+
+            self.fused = FusedFrontend(
+                self._stage_taps[0], self.decimators[0].R,
+                interpret=jax.default_backend() == "cpu")
         mf = cfg.mode_filters
         fa = cfg.fs_audio
         self.mode_bank = OverlapSaveBank(
@@ -105,9 +119,14 @@ class RxChain:
 
     def init_state(self, num_channels: int | None = None):
         C = self.cfg.channels if num_channels is None else num_channels
+        if self.fused is not None:
+            fst = self.fused.init_state(C)
+            decim0 = (fst["tail"],)
+        else:
+            decim0 = (self.decimators[0].init_state(C),) if self.decimators else ()
         return {
             "nco": nco.init_state(C),
-            "decim": tuple(d.init_state(C) for d in self.decimators),
+            "decim": decim0 + tuple(d.init_state(C) for d in self.decimators[1:]),
             "bpf": self.mode_bank.init_state(C),
             "demod": demod_op.bank_init(C),
             "agc": agc_op.init_state(C),
@@ -126,9 +145,17 @@ class RxChain:
         cfg = self.cfg
         assert iq.shape[-1] % self.min_block == 0, (
             f"block length {iq.shape[-1]} must be a multiple of {self.min_block}")
-        x, nco_acc = nco.mix_down(iq, freq_words, state["nco"])
-        tails = []
-        for d, tail in zip(self.decimators, state["decim"]):
+        if self.fused is not None:
+            fst = {"acc": state["nco"], "tail": state["decim"][0]}
+            fst, x = self.fused.step(fst, iq, freq_words)
+            nco_acc = fst["acc"]
+            tails = [fst["tail"]]
+            rest = zip(self.decimators[1:], state["decim"][1:])
+        else:
+            x, nco_acc = nco.mix_down(iq, freq_words, state["nco"])
+            tails = []
+            rest = zip(self.decimators, state["decim"])
+        for d, tail in rest:
             x, t = d(tail, x)
             tails.append(t)
         nb_state = state.get("nb", ())

@@ -64,13 +64,27 @@ class ShardedRxChain:
         d = lax.axis_index(ta)
         T_loc = iq.shape[-1]
 
-        # NCO: local segment at global offset d*T_loc, no comms
-        x = nco.mix_down_at(iq, words, state["nco"], d * jnp.int32(T_loc))
         new_nco = state["nco"] + words * jnp.int32(D * T_loc)
+        if chain.fused is not None:
+            # fused NCO+decimator kernel under time sharding: the DDS phase is
+            # affine in the sample index, so shard d just offsets the
+            # accumulator by word*d*T_loc (int32 wrap — bit-exact vs
+            # unsharded); the halo carries RAW iq, mixed inside the kernel at
+            # its true global indices.
+            prepend, carry0 = _halo_tail(iq, state["decim"][0], chain.fused.H, ta)
+            fst = {"acc": state["nco"] + words * (d * jnp.int32(T_loc)),
+                   "tail": prepend}
+            _, x = chain.fused.step(fst, iq, words)
+            tails = [carry0]
+            dec_rest = zip(chain.decimators[1:], state["decim"][1:])
+        else:
+            # NCO: local segment at global offset d*T_loc, no comms
+            x = nco.mix_down_at(iq, words, state["nco"], d * jnp.int32(T_loc))
+            tails = []
+            dec_rest = zip(chain.decimators, state["decim"])
 
         # decimation stages: halo = L-1 input samples from left neighbor
-        tails = []
-        for dec, carry in zip(chain.decimators, state["decim"]):
+        for dec, carry in dec_rest:
             prepend, new_carry = _halo_tail(x, carry, dec.tail_len, ta)
             x, _ = dec(prepend, x)
             tails.append(new_carry)

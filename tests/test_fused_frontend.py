@@ -1,0 +1,111 @@
+"""Fused NCO+decimator front-end kernel parity (SURVEY.md §4.2 #6):
+kernels/fused_frontend.py vs the composed nco.mix_down + FirDecimator path,
+including streaming state handoff, the full RxChain with the flag on, and
+the time/channel-sharded chain (raw-IQ halos + DDS accumulator offsets)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radioframe.core.config import CicStage, FirStage, RxConfig
+from radioframe.kernels.fused_frontend import FusedFrontend
+from radioframe.ops import filter_design as FD
+from radioframe.ops import nco
+from radioframe.ops.fir import FirDecimator
+from radioframe.pipelines.rx_chain import RxChain
+
+
+def _iq(rng, C, T):
+    return (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+
+
+class TestFusedFrontend:
+    @pytest.mark.parametrize("R,L,C,T", [
+        (8, 29, 4, 2048),     # CIC(8,4)-equivalent taps
+        (4, 97, 3, 1024),     # long FIR, lane-padded channels
+        (2, 7, 128, 512),     # short taps, full lane width
+    ])
+    def test_matches_composed_path(self, rng, R, L, C, T):
+        taps = (FD.cic_equivalent_taps(R, 4, 1) if L == 29
+                else FD.lowpass_taps(L, 0.4 / R, 1.0))
+        ref = FirDecimator(taps, R)
+        fus = FusedFrontend(taps, R, interpret=True)
+        words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
+        x = _iq(rng, C, 3 * T)
+        acc, tail = nco.init_state(C), ref.init_state(C)
+        fstate = fus.init_state(C)
+        outs_ref, outs_fus = [], []
+        for b in np.split(x, 3, axis=-1):
+            b = jnp.asarray(b)
+            m, acc = nco.mix_down(b, words, acc)
+            y, tail = ref(tail, m)
+            outs_ref.append(np.asarray(y))
+            fstate, yf = fus.step(fstate, b, words)
+            outs_fus.append(np.asarray(yf))
+        np.testing.assert_allclose(
+            np.concatenate(outs_fus, -1), np.concatenate(outs_ref, -1), atol=3e-5)
+        # DDS accumulators advance identically (bit-exact int32 wrap)
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(fstate["acc"]))
+
+    def test_wideband_broadcast(self, rng):
+        """(1, T) shared input fans out across per-channel NCO words."""
+        taps = FD.cic_equivalent_taps(4, 4, 1)
+        ref = FirDecimator(taps, 4)
+        fus = FusedFrontend(taps, 4, interpret=True)
+        C = 5
+        words = jnp.asarray(nco.freq_word(np.linspace(1e3, 9e3, C), 192e3))
+        x = jnp.asarray(_iq(rng, 1, 1024))
+        m, _ = nco.mix_down(x, words, nco.init_state(C))
+        want, _ = ref(ref.init_state(C), m)
+        _, got = fus.step(fus.init_state(C), x, words)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    def test_chain_flag_parity(self, rng):
+        """RxChain(fuse_frontend=True) == the unfused chain, multi-block."""
+        base = dict(fs_in=192_000.0, channels=4,
+                    stages=(CicStage(R=2, N=4), FirStage(R=2, numtaps=65)))
+        ch_ref = RxChain(RxConfig(**base))
+        ch_fus = RxChain(RxConfig(**base, fuse_frontend=True))
+        assert ch_fus.fused is not None
+        C = 4
+        words = jnp.asarray(nco.freq_word(np.array([1e3, -2e3, 5e3, 0.0]), 192e3))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        s_ref, s_fus = ch_ref.init_state(C), ch_fus.init_state(C)
+        T = 4 * ch_ref.min_block
+        for blk in range(3):
+            x = jnp.asarray(_iq(rng, C, T))
+            s_ref, a_ref, _ = ch_ref.step(s_ref, x, words, mode)
+            s_fus, a_fus, _ = ch_fus.step(s_fus, x, words, mode)
+            if blk == 0:
+                continue  # filter/NFM warm-up amplifies fp noise (atan2 of ~0)
+            np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
+                                       atol=1e-4)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_sharded_fused_matches_unsharded_fused(self, rng, mesh_shape):
+        """Time-sharded fused front end (raw-IQ halo + accumulator offset)
+        reproduces the unsharded fused chain across block boundaries."""
+        from radioframe.shard.rx import ShardedRxChain
+
+        C = 8
+        cfg = RxConfig(channels=C, ols_hop=512, fuse_frontend=True)
+        chain = RxChain(cfg)
+        devs = jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+        mesh = jax.make_mesh(mesh_shape, ("channel", "time"), devices=devs)
+        sharded = ShardedRxChain(chain, mesh)
+        T = 8 * chain.min_block
+        words = jnp.asarray(nco.freq_word(np.linspace(-80e3, 80e3, C), 192e3))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        st_r, st_s = chain.init_state(C), chain.init_state(C)
+        step_r, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        for blk in range(2):
+            x = jnp.asarray(_iq(rng, C, T))
+            st_r, a_r, _ = step_r(st_r, x, words, mode)
+            st_s, a_s, _ = step_s(st_s, x, words, mode)
+            skip = 128 if blk == 0 else 0  # NFM warm-up chaos
+            np.testing.assert_allclose(np.asarray(a_s)[:, skip:],
+                                       np.asarray(a_r)[:, skip:], atol=5e-4)
+        np.testing.assert_array_equal(np.asarray(st_s["nco"]), np.asarray(st_r["nco"]))
+        np.testing.assert_allclose(np.asarray(st_s["decim"][0]),
+                                   np.asarray(st_r["decim"][0]), atol=1e-6)

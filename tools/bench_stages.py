@@ -14,7 +14,11 @@ Usage: python tools/bench_stages.py [--iters 64]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
