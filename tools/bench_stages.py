@@ -143,6 +143,34 @@ def main():
     timed("demod_agc", dem_fn, lambda: (demod_op.bank_init(C), agc_op.init_state(C)),
           (xa_ri, mode, cw_word), iters, results)
 
+    # demod bank alone (audio rate)
+    def demod_only_fn(st, x_ri, mode, cw_word):
+        x = jax.lax.complex(x_ri[0], x_ri[1])
+        audio, st = demod_op.bank_apply(
+            st, x, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
+        return st, jnp.sum(jnp.abs(audio[:, -1]))
+    timed("demod_only", demod_only_fn, lambda: demod_op.bank_init(C),
+          (xa_ri, mode, cw_word), iters, results)
+
+    # AGC scan alone (audio rate, real input)
+    def agc_fn(env, x_ri):
+        y, env, _ = agc_op.apply(env, x_ri[0], chain.agc_decay,
+                                 cfg.agc.target, cfg.agc.max_gain)
+        return env, jnp.sum(jnp.abs(y[:, -1]))
+    timed("agc_only", agc_fn, lambda: agc_op.init_state(C), (xa_ri,), iters, results)
+
+    # fused NCO+CIC front end (kernels/fused_frontend.py) at full rate
+    from radioframe.kernels.fused_frontend import FusedFrontend
+    from radioframe.ops.filter_design import cic_equivalent_taps
+
+    fus = FusedFrontend(cic_equivalent_taps(8, 4, 1), 8)
+    def fused_fn(st, x_ri, words):
+        x = jax.lax.complex(x_ri[0], x_ri[1])
+        st, y = fus.step(st, x, words)
+        return st, jnp.sum(jnp.abs(y[:, -1]))
+    timed("fused_nco_cic", fused_fn, lambda: fus.init_state(C),
+          (x_ri, words), iters, results)
+
     # full chain for reference
     def full_fn(st, x_ri, words, mode):
         x = jax.lax.complex(x_ri[0], x_ri[1])
