@@ -101,7 +101,12 @@ class TestShardedChannelizer:
         ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
         st2 = chain.init_state()
         got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
-        np.testing.assert_allclose(np.asarray(got_audio), np.asarray(ref_audio), atol=5e-4)
+        # skip the PFB warm-up (K-1 = 7 frames): near-zero partial-conv
+        # output there makes NFM's arctan2 ill-conditioned under CPU-mesh
+        # fp nondeterminism (see tests/test_sharded.py WARMUP note)
+        W = chain.pfb.K
+        np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
+                                   np.asarray(ref_audio)[:, W:], atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
                                    np.asarray(ref_aux["waterfall"]), atol=1e-2)
         np.testing.assert_allclose(np.asarray(got_st["agc"]), np.asarray(ref_st["agc"]),
@@ -133,4 +138,5 @@ class TestShardedChannelizer:
             st, a, _ = sstep(st, jnp.asarray(b), mode)
             got.append(np.asarray(a))
         got = np.concatenate(got, axis=-1)
-        np.testing.assert_allclose(got, ref, atol=5e-4)
+        W = chain.pfb.K  # PFB warm-up frames (see note above)
+        np.testing.assert_allclose(got[:, W:], ref[:, W:], atol=2e-4)

@@ -103,9 +103,14 @@ class TestFusedFrontend:
             x = jnp.asarray(_iq(rng, C, T))
             st_r, a_r, _ = step_r(st_r, x, words, mode)
             st_s, a_s, _ = step_s(st_s, x, words, mode)
-            skip = 128 if blk == 0 else 0  # NFM warm-up chaos
+            # skip the full mode-filter warm-up (numtaps-1 = 512 audio
+            # samples) on the first block: the OLS transient is near zero
+            # there and NFM's arctan2 / AM's envelope amplify ulp-level
+            # CPU-mesh nondeterminism to O(1) (see tests/test_sharded.py
+            # WARMUP note for the 12-run root-cause probe)
+            skip = 512 if blk == 0 else 0
             np.testing.assert_allclose(np.asarray(a_s)[:, skip:],
-                                       np.asarray(a_r)[:, skip:], atol=5e-4)
+                                       np.asarray(a_r)[:, skip:], atol=2e-4)
         np.testing.assert_array_equal(np.asarray(st_s["nco"]), np.asarray(st_r["nco"]))
         np.testing.assert_allclose(np.asarray(st_s["decim"][0]),
                                    np.asarray(st_r["decim"][0]), atol=1e-6)

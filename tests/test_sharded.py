@@ -18,6 +18,24 @@ from radioframe.shard.rx import ShardedRxChain
 
 FS = 192_000.0
 
+# Audio-sample comparison starts AFTER the mode-filter warm-up transient.
+#
+# Root cause of the (former) order-dependent flake in
+# test_sharded_streaming_matches_unsharded, established by a 12-run probe
+# (2026-08-20): XLA:CPU execution of the 8-virtual-device mesh is NOT
+# run-to-run fp-deterministic — concurrent per-device programs share the
+# host thread pool and intra-op work partitioning varies, so the sharded
+# audio differs between runs at the few-ulp level (the unsharded chain is
+# bitwise stable). Those ulps are harmless everywhere except the first
+# numtaps-1 = 512 audio samples, where the OLS bank's output is a
+# near-zero partial-convolution transient: NFM's arctan2 and AM's
+# envelope+DC-block are ill-conditioned there and amplify ulp noise to
+# O(1) flips (observed: err 16.3 at t<=128 on an NFM channel; post-512
+# max over 12 runs = 4.5e-5). Skipping the warm-up removes the
+# ill-conditioned region entirely — the post-warm-up tolerance is
+# TIGHTENED vs the old test (5e-4 -> 2e-4), not widened.
+WARMUP = 512  # == ModeFilters.numtaps - 1 at fs_audio
+
 
 def _mk(mesh_shape, C=8, emit_spectrum=False):
     chain = RxChain(RxConfig(channels=C, ols_hop=512, emit_spectrum=emit_spectrum))
@@ -44,10 +62,8 @@ def test_sharded_matches_unsharded_single_block(mesh_shape):
     ref_state, ref_audio, ref_aux = jax.jit(chain.step)(st, iq, words, mode)
     st2 = chain.init_state(C)
     got_state, got_audio, got_aux = jax.jit(sharded.step)(st2, iq, words, mode)
-    # skip the first 128 audio samples: NFM angle() of near-zero filter
-    # warm-up samples is numerically chaotic (sign flips of ~pi)
-    np.testing.assert_allclose(np.asarray(got_audio)[:, 128:],
-                               np.asarray(ref_audio)[:, 128:], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_audio)[:, WARMUP:],
+                               np.asarray(ref_audio)[:, WARMUP:], atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_aux["power_in"]),
                                np.asarray(ref_aux["power_in"]), rtol=1e-5)
     # carried state must agree (it feeds the next block)
@@ -79,7 +95,7 @@ def test_sharded_streaming_matches_unsharded():
         st, a, _ = sstep(st, jnp.asarray(b), words, mode)
         got.append(np.asarray(a))
     got = np.concatenate(got, axis=-1)
-    np.testing.assert_allclose(got[:, 128:], ref[:, 128:], atol=5e-4)  # skip NFM warm-up chaos
+    np.testing.assert_allclose(got[:, WARMUP:], ref[:, WARMUP:], atol=2e-4)
 
 
 def test_sharded_spectrum_output():
@@ -126,8 +142,8 @@ def test_sharded_with_fighters_and_ema_spectrum():
     ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(iq), words, mode)
     st2 = chain.init_state(C)
     got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(iq), words, mode)
-    np.testing.assert_allclose(np.asarray(got_audio)[:, 128:],
-                               np.asarray(ref_audio)[:, 128:], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_audio)[:, WARMUP:],
+                               np.asarray(ref_audio)[:, WARMUP:], atol=2e-4)
     # NB blanking decisions near the 6-sigma threshold can flip under fp
     # reassociation, nudging individual spectrum bins — compare statistically
     dspec = np.abs(np.asarray(got_aux["spectrum"]) - np.asarray(ref_aux["spectrum"]))
