@@ -34,9 +34,29 @@ class FirStage:
 
 @dataclass(frozen=True)
 class AgcConfig:
+    """Attack/release/hang AGC constants (reference `[U:agc.c]` parity).
+
+    Defaults preserve the round-1 behavior: instant attack, no hang."""
+
     release_s: float = 0.5
     target: float = 0.5
     max_gain: float = 1e4
+    attack_s: float = 0.0   # gain-reduction smoothing; 0 = instant attack
+    hang_s: float = 0.0     # peak hold time before release starts
+
+
+# Per-mode AGC profiles, indexed by demod mode code (SSB/CW/AM/NFM/LSB/SAM).
+# The reference keeps distinct attack/release/hang constants per mode in its
+# settings struct; NFM's entry is present for table shape but bypassed (FM
+# audio is deviation-scaled, AGC-free — see pipelines/rx_chain.py).
+DEFAULT_AGC_MODES = (
+    AgcConfig(release_s=0.5, attack_s=0.002, hang_s=0.02),    # SSB
+    AgcConfig(release_s=0.25, attack_s=0.001, hang_s=0.01),   # CW
+    AgcConfig(release_s=0.8, attack_s=0.005, hang_s=0.02),    # AM
+    AgcConfig(),                                              # NFM (bypassed)
+    AgcConfig(release_s=0.5, attack_s=0.002, hang_s=0.02),    # LSB
+    AgcConfig(release_s=0.8, attack_s=0.005, hang_s=0.02),    # SAM
+)
 
 
 @dataclass(frozen=True)
@@ -61,6 +81,10 @@ class RxConfig:
     stages: tuple = (CicStage(R=2, N=4), FirStage(R=2))
     mode_filters: ModeFilters = field(default_factory=ModeFilters)
     agc: AgcConfig = field(default_factory=AgcConfig)
+    # per-mode AGC constants (len-6 tuple indexed by demod mode code);
+    # None -> cfg.agc for every mode. Use DEFAULT_AGC_MODES for the
+    # reference-style per-mode profile.
+    agc_modes: tuple | None = None
     cw_tone_hz: float = 600.0
     nfm_deviation_hz: float = 2500.0
     ols_hop: int = 512
@@ -68,6 +92,11 @@ class RxConfig:
     # fuse NCO mix + first decimator into one Pallas kernel (saves the
     # full-ADC-rate HBM round trips; see kernels/fused_frontend.py)
     fuse_frontend: bool = False
+    # transport for the fused front end's full-rate raw-IQ halo under time
+    # sharding: "ppermute" (XLA-scheduled) or "rdma" (explicit Pallas
+    # make_async_remote_copy, overlapped with the interior compute via the
+    # linearity split in FusedFrontend.boundary_correction)
+    halo_transport: str = "ppermute"
     spectrum_nfft: int = 1024
     spectrum_avg: float = 0.0
     emit_spectrum: bool = False
@@ -82,6 +111,9 @@ class RxConfig:
     # FM squelch (gates NFM audio on discriminator HF noise)
     squelch_enabled: bool = False
     squelch_threshold: float = 0.5
+    # NFM de-emphasis time constant (seconds); 0 disables. 531e-6 is the
+    # amateur-NFM standard complement to TX pre-emphasis
+    nfm_deemphasis_s: float = 0.0
 
     @property
     def decim(self) -> int:
@@ -102,7 +134,10 @@ class TxConfig:
     fs_out: float = 192_000.0
     fs_audio: float = 48_000.0
     channels: int = 1
-    interp_stages: tuple = (2, 2)  # interpolation factors (FIR per stage)
+    # interpolation plan: ints = FIR stages (anti-image, inverse-sinc
+    # pre-compensated when a CIC follows); CicStage entries = CIC
+    # interpolators for bulk upsampling to DAC rate (SURVEY.md §2.1 #10)
+    interp_stages: tuple = (2, 2)
     numtaps_per_stage: int = 65
     mode_filters: ModeFilters = field(default_factory=ModeFilters)
     am_depth: float = 0.9
@@ -111,12 +146,16 @@ class TxConfig:
     compressor_target: float = 0.7
     compressor_max_gain: float = 4.0
     compressor_release_s: float = 0.05
+    # TX mic equalizer: peaking-EQ bands (center_hz, gain_db, Q) applied
+    # between the DC block and the compressor (reference TX EQ in
+    # `[U:audio_processor.c]`); () disables
+    mic_eq_bands: tuple = ()
 
     @property
     def interp(self) -> int:
         r = 1
-        for L in self.interp_stages:
-            r *= L
+        for st in self.interp_stages:
+            r *= st.R if isinstance(st, CicStage) else int(st)
         return r
 
 

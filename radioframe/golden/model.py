@@ -145,6 +145,56 @@ def agc(
     return x * gain, float(e), gain
 
 
+def agc_full(
+    x: np.ndarray,
+    release_decay: float,
+    attack_alpha: float = 0.0,
+    hang_samples: int = 0,
+    target: float = 1.0,
+    max_gain: float = 1e4,
+    state=None,
+    eps: float = 1e-9,
+):
+    """Full AGC: attack smoothing + hang timer + exponential release.
+
+    Normative semantics of the reference's per-mode AGC (`[U:agc.c]`,
+    SURVEY.md §2.1 #8 "attack/release/hang ... per-mode time constants"),
+    defined per-sample:
+
+      m[n]     = max(|x[k]|, k in [n - hang_samples, n])   (hang: peaks held)
+      env_r[n] = max(m[n], release_decay * env_r[n-1])     (release decay)
+      env[n]   = attack_alpha*env[n-1] + (1-attack_alpha)*env_r[n]  (attack)
+      gain[n]  = min(max_gain, target / max(env[n], eps))
+
+    The hang-then-release identity: sliding-window max followed by the
+    max-decay recurrence equals env_r[n] = max_j |x[j]| * g(n-j) with
+    g(a) = 1 for a <= hang_samples, release_decay^(a-hang) after — i.e.
+    every peak is held flat for the hang time, then released exponentially.
+    attack_alpha = exp(-1/(attack_s*fs)) smooths gain reduction on signal
+    rise with the attack time constant (0 = instant attack).
+
+    state = (hist (hang_samples,) recent |x|, env_r, env). Streaming-exact:
+    block splits reproduce the full-stream result bit-for-bit.
+    Returns (y, new_state, gain).
+    """
+    mag = np.abs(np.asarray(x)).astype(np.float64)
+    W = int(hang_samples)
+    if state is None:
+        state = (np.zeros(W, dtype=np.float64), 0.0, 0.0)
+    hist, er, es = state
+    assert len(hist) == W
+    xp = np.concatenate([hist, mag])
+    env = np.empty(len(mag), dtype=np.float64)
+    for i in range(len(mag)):
+        m = xp[i : i + W + 1].max()  # window of W+1 samples ending at i
+        er = max(m, release_decay * er)
+        es = attack_alpha * es + (1.0 - attack_alpha) * er
+        env[i] = es
+    gain = np.minimum(max_gain, target / np.maximum(env, eps))
+    new_hist = xp[len(xp) - W :] if W else xp[:0]
+    return x * gain, (new_hist, float(er), float(es)), gain
+
+
 # ---------------------------------------------------------------------------
 # DC blocker (one-pole high-pass)  (SURVEY.md §2.1 #13)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,8 @@ class ChannelizerConfig:
     num_channels: int = 4096
     taps_per_channel: int = 8
     agc: AgcConfig = field(default_factory=AgcConfig)
+    # optional per-mode AGC profiles (len-6, by demod mode code)
+    agc_modes: tuple | None = None
     cw_tone_hz: float = 600.0
     nfm_deviation_hz: float = 2500.0
     spectrum_nfft: int = 4096
@@ -40,7 +42,9 @@ class ChannelizerChain:
         self.cfg = cfg
         self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
         self.spectrum = Spectrum(cfg.spectrum_nfft)
-        self.agc_decay = agc_op.release_decay(cfg.agc.release_s, cfg.fs_channel)
+        n_modes = demod_op.SAM + 1
+        mode_cfgs = cfg.agc_modes if cfg.agc_modes is not None else (cfg.agc,) * n_modes
+        self.agc_bank = agc_op.AgcBank(mode_cfgs, cfg.fs_channel)
         self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, cfg.fs_channel))
         self.min_block = cfg.num_channels * max(cfg.taps_per_channel, 1)
 
@@ -49,7 +53,7 @@ class ChannelizerChain:
         return {
             "pfb": self.pfb.init_state(1),
             "demod": demod_op.bank_init(M),
-            "agc": agc_op.init_state(M),
+            "agc": self.agc_bank.init_state(M),
             "spec": self.spectrum.init_state(1),
         }
 
@@ -61,8 +65,7 @@ class ChannelizerChain:
         cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
-        agc_audio, agc_env, agc_gain = agc_op.apply(
-            state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        agc_audio, agc_env, agc_gain = self.agc_bank.apply(state["agc"], audio, mode)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
         aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
         spec_prev = state["spec"]

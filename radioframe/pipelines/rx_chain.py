@@ -94,13 +94,25 @@ class RxChain:
             hop=cfg.ols_hop,
         )
         self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
-        self.agc_decay = agc_op.release_decay(cfg.agc.release_s, fa)
+        # per-mode attack/release/hang AGC (reference [U:agc.c] parity);
+        # a single AgcConfig fans out to all 6 mode slots when agc_modes
+        # is unset, reproducing the round-1 single-profile behavior
+        n_modes = demod_op.SAM + 1
+        mode_cfgs = cfg.agc_modes if cfg.agc_modes is not None else (cfg.agc,) * n_modes
+        assert len(mode_cfgs) == n_modes
+        self.agc_bank = agc_op.AgcBank(mode_cfgs, fa)
         self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, fa))
         from radioframe.ops.interference import AutoNotch, NoiseBlanker, SpectralNR
 
         self.nb = NoiseBlanker(cfg.nb_threshold) if cfg.nb_enabled else None
         self.nr = SpectralNR(cfg.nr_nfft) if cfg.nr_enabled else None
         self.notch = AutoNotch(cfg.notch_nfft) if cfg.notch_enabled else None
+        # NFM de-emphasis (one-pole biquad, complements TX pre-emphasis)
+        self.deemph = None
+        if cfg.nfm_deemphasis_s > 0.0:
+            from radioframe.ops.biquad import BiquadCascade
+
+            self.deemph = BiquadCascade(FD.deemphasis_sos(cfg.nfm_deemphasis_s, fa))
         # minimum input block: every stage's constraint pulled back to fs_in
         r = 1
         lcm = 1
@@ -129,12 +141,13 @@ class RxChain:
             "decim": decim0 + tuple(d.init_state(C) for d in self.decimators[1:]),
             "bpf": self.mode_bank.init_state(C),
             "demod": demod_op.bank_init(C),
-            "agc": agc_op.init_state(C),
+            "agc": self.agc_bank.init_state(C),
             "spec": self.spectrum.init_state(C),
             "nb": self.nb.init_state(C) if self.nb else (),
             "nr": self.nr.init_state(C) if self.nr else (),
             "notch": self.notch.init_state(C) if self.notch else (),
             "squelch": jnp.zeros((C,), jnp.float32) if self.cfg.squelch_enabled else (),
+            "deemph": self.deemph.init_state(C) if self.deemph else (),
         }
 
     # -- the block program ---------------------------------------------------
@@ -172,11 +185,16 @@ class RxChain:
         cw_word = jnp.full(mode.shape[0], self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
+        deemph_state = state.get("deemph", ())
+        if self.deemph is not None:
+            # de-emphasis runs dense, selected for NFM channels only (the
+            # squelch below then gates the de-emphasized audio)
+            de, deemph_state = self.deemph(state["deemph"], audio)
+            audio = jnp.where((mode == demod_op.NFM)[:, None], de, audio)
         # AGC on SSB/CW/AM; FM audio is amplitude-invariant (deviation-scaled)
         # and AGC would only pump on warm-up transients — the reference
         # likewise runs AGC only outside FM mode.
-        agc_audio, agc_env, agc_gain = agc_op.apply(
-            state["agc"], audio, self.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        agc_audio, agc_env, agc_gain = self.agc_bank.apply(state["agc"], audio, mode)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
         sq_state = state.get("squelch", ())
         if cfg.squelch_enabled:
@@ -203,5 +221,6 @@ class RxChain:
             "nr": nr_state,
             "notch": notch_state,
             "squelch": sq_state,
+            "deemph": deemph_state,
         }
         return new_state, audio, aux

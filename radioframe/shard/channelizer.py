@@ -55,8 +55,9 @@ class ShardedChannelizer:
         cw_word = jnp.full((chans.shape[0],), chain.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
-        agc_audio, agc_env, agc_gain = agc_op.apply(
-            state["agc"], audio, chain.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        # channels are sharded, time is whole here — the per-mode AGC bank
+        # runs locally per shard, no collectives needed
+        agc_audio, agc_env, agc_gain = chain.agc_bank.apply(state["agc"], audio, mode)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
 
         aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
@@ -74,7 +75,8 @@ class ShardedChannelizer:
             "pfb": P(None, None),  # replicated carry
             "demod": {"cw_phase": P(ax), "am_dc": P(None, ax), "nfm_last": P(ax),
                       "sam_dc": P(None, ax), "sam_carrier": P(None, ax)},
-            "agc": P(ax),
+            "agc": {"hist": P(ax, None) if self.chain.agc_bank.hist_len else (),
+                    "env": P(ax), "lpf": P(ax)},
             "spec": P(None, None),
         }
 

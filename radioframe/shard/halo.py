@@ -66,24 +66,27 @@ def _shard_prefix_inputs(local_final, axis):
     return g, lax.axis_index(axis)
 
 
-def sharded_maxdecay_scan(a_const: float, v_local, carry, axis: str = "time"):
+def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time"):
     """env[n] = max(a*env[n-1], v[n]) across the full time-sharded block.
 
-    a_const static per-sample decay; v_local (C, T_local); carry (C,) is the
-    global env entering the block. Returns (env_local (C, T_local),
-    new_carry (C,) replicated).
+    a_const: static scalar per-sample decay OR a (C,) per-channel decay
+    array (e.g. per-mode AGC release constants). v_local (C, T_local);
+    carry (C,) is the global env entering the block. Returns
+    (env_local (C, T_local), new_carry (C,) replicated).
     """
     C, T = v_local.shape
-    a = jnp.full_like(v_local, jnp.float32(a_const))
+    ac = jnp.asarray(a_const, v_local.dtype)  # scalar or (C,)
+    a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, v_local.shape)
+    apow = ac[..., None] ** (1 + jnp.arange(T, dtype=v_local.dtype))  # (T,) or (C,T)
     D = lax.axis_size(axis)
     zero = jnp.zeros((C,), v_local.dtype)
     local_env = maxdecay_scan(a, v_local, zero)  # scan from 0
     if D == 1:
-        env = jnp.maximum(local_env, carry[:, None] * a_const ** (1 + jnp.arange(T, dtype=jnp.float32)))
+        env = jnp.maximum(local_env, carry[:, None] * apow)
         return env, env[:, -1]
     V = lax.all_gather(local_env[:, -1], axis)  # (D, C)
     d = lax.axis_index(axis)
-    A = jnp.float32(a_const) ** T  # decay over one shard
+    A = ac ** T  # decay over one shard: scalar or (C,)
     # in_j: env entering shard j; computed identically on every shard
     def body(j, ins):
         prev = ins[j]
@@ -92,24 +95,69 @@ def sharded_maxdecay_scan(a_const: float, v_local, carry, axis: str = "time"):
     ins0 = jnp.zeros((D + 1, C), v_local.dtype).at[0].set(carry)
     ins = lax.fori_loop(0, D, body, ins0)  # (D+1, C); ins[D] = next carry
     my_in = ins[d]
-    decay_pow = jnp.float32(a_const) ** (1 + jnp.arange(T, dtype=jnp.float32))
-    env = jnp.maximum(local_env, my_in[:, None] * decay_pow[None, :])
+    env = jnp.maximum(local_env, my_in[:, None] * apow)
     return env, ins[D]
 
 
-def sharded_affine_scan(a_const: float, b_local, carry, axis: str = "time"):
-    """s[n] = a*s[n-1] + b[n] across the time-sharded block (a static).
+def sharded_biquad(bq, s0, x, axis: str = "time"):
+    """One transposed-DF2 biquad section across the time-sharded block.
 
+    Same 2x2 (matrix, vector) associative-scan formulation as
+    ops/biquad.Biquad, completed across shards: all-gather each shard's
+    total state map (A_prod, b_final), compose sequentially (D tiny) to get
+    every shard's entering state, then finish locally.
+    bq: ops.biquad.Biquad; s0 (C, 2) global entering state; x (C, T_loc)."""
+    from radioframe.ops.biquad import _compose
+
+    C, T = x.shape
+    A = jnp.broadcast_to(jnp.asarray(bq.A), (C, T, 2, 2))
+    bvec = x[..., None] * jnp.asarray(bq.B)  # (C, T, 2)
+    As, bs = lax.associative_scan(_compose, (A, bvec), axis=1)
+    D = lax.axis_size(axis)
+    if D == 1:
+        s = jnp.einsum("ctij,cj->cti", As, s0) + bs
+        s_prev = jnp.concatenate([s0[:, None, :], s[:, :-1, :]], axis=1)
+        return bq.b0 * x + s_prev[..., 0], s[:, -1, :]
+    Ag = lax.all_gather(As[:, -1], axis)  # (D, C, 2, 2)
+    bg = lax.all_gather(bs[:, -1], axis)  # (D, C, 2)
+    d = lax.axis_index(axis)
+
+    def body(j, ins):
+        nxt = jnp.einsum("cij,cj->ci", Ag[j], ins[j]) + bg[j]
+        return ins.at[j + 1].set(nxt)
+
+    ins0 = jnp.zeros((D + 1, C, 2), x.dtype).at[0].set(s0)
+    ins = lax.fori_loop(0, D, body, ins0)
+    my_in = ins[d]
+    s = jnp.einsum("ctij,cj->cti", As, my_in) + bs
+    s_prev = jnp.concatenate([my_in[:, None, :], s[:, :-1, :]], axis=1)
+    return bq.b0 * x + s_prev[..., 0], ins[D]
+
+
+def sharded_biquad_cascade(cascade, state, x, axis: str = "time"):
+    """ops/biquad.BiquadCascade across the time-sharded block."""
+    new_states = []
+    for bq, st in zip(cascade.sections, state):
+        x, st2 = sharded_biquad(bq, st, x, axis)
+        new_states.append(st2)
+    return x, tuple(new_states)
+
+
+def sharded_affine_scan(a_const, b_local, carry, axis: str = "time"):
+    """s[n] = a*s[n-1] + b[n] across the time-sharded block.
+
+    a_const: static scalar OR (C,) per-channel coefficient array.
     b_local (C, T_local); carry (C,). Returns (s_local, new_carry)."""
     C, T = b_local.shape
-    a = jnp.full_like(b_local, b_local.dtype.type(a_const))
+    ac = jnp.asarray(a_const, b_local.dtype)  # scalar or (C,)
+    a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, b_local.shape)
+    apow = ac[..., None] ** (1 + jnp.arange(T, dtype=b_local.dtype))  # (T,) or (C,T)
     D = lax.axis_size(axis)
     zero = jnp.zeros((C,), b_local.dtype)
     local_s = affine_scan(a, b_local, zero)
-    A = b_local.dtype.type(a_const) ** T
+    A = ac ** T
     if D == 1:
-        apow = b_local.dtype.type(a_const) ** (1 + jnp.arange(T, dtype=b_local.dtype))
-        s = local_s + carry[:, None] * apow[None, :]
+        s = local_s + carry[:, None] * apow
         return s, s[:, -1]
     B = lax.all_gather(local_s[:, -1], axis)  # (D, C)
     d = lax.axis_index(axis)
@@ -119,6 +167,5 @@ def sharded_affine_scan(a_const: float, b_local, carry, axis: str = "time"):
     ins0 = jnp.zeros((D + 1, C), b_local.dtype).at[0].set(carry)
     ins = lax.fori_loop(0, D, body, ins0)
     my_in = ins[d]
-    apow = b_local.dtype.type(a_const) ** (1 + jnp.arange(T, dtype=b_local.dtype))
-    s = local_s + my_in[:, None] * apow[None, :]
+    s = local_s + my_in[:, None] * apow
     return s, ins[D]

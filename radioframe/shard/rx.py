@@ -32,6 +32,7 @@ from radioframe.shard.halo import (
     causal_halo,
     last_shard_value,
     sharded_affine_scan,
+    sharded_biquad_cascade,
     sharded_maxdecay_scan,
 )
 
@@ -71,10 +72,35 @@ class ShardedRxChain:
             # accumulator by word*d*T_loc (int32 wrap — bit-exact vs
             # unsharded); the halo carries RAW iq, mixed inside the kernel at
             # its true global indices.
-            prepend, carry0 = _halo_tail(iq, state["decim"][0], chain.fused.H, ta)
-            fst = {"acc": state["nco"] + words * (d * jnp.int32(T_loc)),
-                   "tail": prepend}
-            _, x = chain.fused.step(fst, iq, words)
+            acc_d = state["nco"] + words * (d * jnp.int32(T_loc))
+            if cfg.halo_transport == "rdma" and chain.fused.H:
+                # explicit Pallas RDMA halo, overlapped with compute
+                # (SURVEY.md §2.3 ring-halo row): start the async remote
+                # copy, run the fused kernel on the LOCAL block with a zero
+                # tail (the interior — no dependency on the neighbor), then
+                # add the tail's linear contribution to the first J0 outputs
+                # once the halo lands (FusedFrontend.boundary_correction).
+                import jax as _jax
+
+                from radioframe.kernels.halo_dma import causal_halo_dma
+
+                # on CPU (interpret mode) the pallas discharge rule can't
+                # address a multi-axis mesh — use the ppermute fallback
+                # there so the overlap structure still runs; real TPU
+                # meshes get the true RDMA (dict-MESH addressing)
+                on_cpu = _jax.default_backend() == "cpu"
+                xp_h, carry0 = causal_halo_dma(
+                    iq, state["decim"][0], chain.fused.H, ta,
+                    interpret=on_cpu, ppermute_fallback=on_cpu)
+                prepend = xp_h[..., : chain.fused.H]
+                fst = {"acc": acc_d, "tail": jnp.zeros_like(prepend)}
+                _, x = chain.fused.step(fst, iq, words)
+                corr = chain.fused.boundary_correction(acc_d, words, prepend)
+                x = x.at[:, : chain.fused.J0].add(corr)
+            else:
+                prepend, carry0 = _halo_tail(iq, state["decim"][0], chain.fused.H, ta)
+                fst = {"acc": acc_d, "tail": prepend}
+                _, x = chain.fused.step(fst, iq, words)
             tails = [carry0]
             dec_rest = zip(chain.decimators[1:], state["decim"][1:])
         else:
@@ -184,10 +210,26 @@ class ShardedRxChain:
         audio = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
         audio = audio.astype(jnp.float32)
 
-        # AGC: cross-shard max-decay scan
-        env, new_agc = sharded_maxdecay_scan(chain.agc_decay, jnp.abs(audio), state["agc"], ta)
-        gain = jnp.minimum(jnp.float32(cfg.agc.max_gain),
-                           jnp.float32(cfg.agc.target) / jnp.maximum(env, jnp.float32(1e-9)))
+        # NFM de-emphasis: dense cross-shard biquad, selected per channel
+        deemph_state = ()
+        if chain.deemph is not None:
+            de, deemph_state = sharded_biquad_cascade(
+                chain.deemph, state["deemph"], audio, ta)
+            audio = jnp.where((mode == demod_op.NFM)[:, None], de, audio)
+
+        # AGC: hang sliding-max (hist_len halo) + cross-shard release
+        # max-decay and attack affine scans, per-mode constants gathered
+        # per channel (ops/agc.py AgcBank; halo requires hist_len <= T_loc)
+        bank = chain.agc_bank
+        mag = jnp.abs(audio).astype(jnp.float32)
+        xp_agc, hist_carry = causal_halo(mag, state["agc"]["hist"], bank.hist_len, ta)
+        m_agc = bank.hang_select(xp_agc, mag.shape[-1], mode)
+        rel_c, al_c, _, _ = bank.per_channel(mode)
+        env_r, new_env = sharded_maxdecay_scan(rel_c, m_agc, state["agc"]["env"], ta)
+        env, new_lpf = sharded_affine_scan(al_c, (1.0 - al_c)[:, None] * env_r,
+                                           state["agc"]["lpf"], ta)
+        new_agc = {"hist": hist_carry, "env": new_env, "lpf": new_lpf}
+        gain = bank.gain_from_env(env, mode)
         agc_audio = audio * gain
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
         sq_state = ()
@@ -233,6 +275,7 @@ class ShardedRxChain:
             "spec": spec_prev,
             "nb": nb_state, "nr": nr_state, "notch": notch_state,
             "squelch": sq_state,
+            "deemph": deemph_state,
         }
         return new_state, audio, aux
 
@@ -246,12 +289,15 @@ class ShardedRxChain:
             "bpf": P(ca, None),
             "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca),
                       "sam_dc": P(None, ca), "sam_carrier": P(None, ca)},
-            "agc": P(ca),
+            "agc": {"hist": P(ca, None) if self.chain.agc_bank.hist_len else (),
+                    "env": P(ca), "lpf": P(ca)},
             "spec": P(ca, None),
             "nb": P(ca) if self.chain.nb else (),
             "nr": P(ca, None) if self.chain.nr else (),
             "notch": P(ca, None) if self.chain.notch else (),
             "squelch": P(ca) if self.chain.cfg.squelch_enabled else (),
+            "deemph": (tuple(P(ca, None) for _ in self.chain.deemph.sections)
+                       if self.chain.deemph else ()),
         }
 
     def step(self, state, iq, words, mode):

@@ -51,7 +51,11 @@ def golden_chain(chain: RxChain, iq, freq_hz, mode_name):
     else:
         audio, _ = G.demod_nfm(x, fs, cfg.nfm_deviation_hz)
     if mode_name != "nfm":  # chain bypasses AGC for FM
-        audio, _, _ = G.agc(audio, chain.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        k = demod_op.MODE_NAMES[mode_name]
+        audio, _, _ = G.agc_full(
+            audio, float(chain.agc_bank.release[k]), float(chain.agc_bank.alpha[k]),
+            chain.agc_bank.distinct_W[int(chain.agc_bank.win_index[k])] - 1,
+            float(chain.agc_bank.target[k]), float(chain.agc_bank.max_gain[k]))
     return audio
 
 

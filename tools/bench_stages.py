@@ -137,10 +137,9 @@ def main():
         x = jax.lax.complex(x_ri[0], x_ri[1])
         audio, demod_state = demod_op.bank_apply(
             demod_state, x, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
-        agc_audio, agc_env, _ = agc_op.apply(
-            agc_env, audio, chain.agc_decay, cfg.agc.target, cfg.agc.max_gain)
+        agc_audio, agc_env, _ = chain.agc_bank.apply(agc_env, audio, mode)
         return (demod_state, agc_env), jnp.sum(jnp.abs(agc_audio[:, -1]))
-    timed("demod_agc", dem_fn, lambda: (demod_op.bank_init(C), agc_op.init_state(C)),
+    timed("demod_agc", dem_fn, lambda: (demod_op.bank_init(C), chain.agc_bank.init_state(C)),
           (xa_ri, mode, cw_word), iters, results)
 
     # demod bank alone (audio rate)
@@ -153,11 +152,10 @@ def main():
           (xa_ri, mode, cw_word), iters, results)
 
     # AGC scan alone (audio rate, real input)
-    def agc_fn(env, x_ri):
-        y, env, _ = agc_op.apply(env, x_ri[0], chain.agc_decay,
-                                 cfg.agc.target, cfg.agc.max_gain)
-        return env, jnp.sum(jnp.abs(y[:, -1]))
-    timed("agc_only", agc_fn, lambda: agc_op.init_state(C), (xa_ri,), iters, results)
+    def agc_fn(st, x_ri, mode):
+        y, st, _ = chain.agc_bank.apply(st, x_ri[0], mode)
+        return st, jnp.sum(jnp.abs(y[:, -1]))
+    timed("agc_only", agc_fn, lambda: chain.agc_bank.init_state(C), (xa_ri, mode), iters, results)
 
     # fused NCO+CIC front end (kernels/fused_frontend.py) at full rate
     from radioframe.kernels.fused_frontend import FusedFrontend
