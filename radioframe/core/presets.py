@@ -9,7 +9,7 @@ FPGA datapath.
 
 from __future__ import annotations
 
-from radioframe.core.config import CicStage, FirStage, RxConfig
+from radioframe.core.config import CicStage, FirStage, RxConfig, TxConfig
 
 
 def capture_192k(channels: int = 1, **kw) -> RxConfig:
@@ -41,4 +41,18 @@ def adc_61m44(channels: int = 1, audio_fs: float = 48_000.0, **kw) -> RxConfig:
             FirStage(R=8, numtaps=129, passband_hz=20_000.0),
             FirStage(R=5, numtaps=129, passband_hz=20_000.0, stopband_hz=24_000.0),
         ),
+        **kw)
+
+
+def tx_adc_61m44(channels: int = 1, **kw) -> TxConfig:
+    """Full ADC-rate DUC: 48 kHz audio -> 61.44 Msps IQ (L=1280), the exact
+    adjoint of the ``adc_61m44`` RX plan (SURVEY.md §2.1 #10, the FPGA DUC):
+
+        FIR(L=5)           48 k   -> 240 k   (sharp anti-image)
+        FIR(L=8)           240 k  -> 1.92 M  (inverse-sinc pre-compensated)
+        CIC(L=32, N=4)     1.92 M -> 61.44 M (multiplier-free bulk interp)
+    """
+    return TxConfig(
+        fs_out=61_440_000.0, channels=channels,
+        interp_stages=(5, 8, CicStage(R=32, N=4)),
         **kw)

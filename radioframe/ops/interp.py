@@ -49,3 +49,19 @@ class FirInterpolator:
                         out[:, 1, start : start + T * self.L])
         new_tail = xp[:, xp.shape[-1] - self.tin :]
         return y, new_tail
+
+
+def cic_interpolator(L: int, N: int, M: int = 1) -> FirInterpolator:
+    """CIC interpolator in its FIR-equivalent block form — the DUC's bulk
+    interpolation stage, exact adjoint of ``ops.fir.cic_decimator``
+    (SURVEY.md §2.1 #10, the FPGA DUC's comb->zero-stuff->integrator chain).
+
+    Zero-stuff by L then boxcar^N ((1-z^-LM)/(1-z^-1))^N — same operator as
+    the comb/integrator structure, bounded state (no fp32 integrator growth).
+    Taps are scaled to DC gain L so a unit-amplitude baseband stays unit
+    amplitude at the DAC rate; passband sinc^N droop is pre-compensated in
+    the preceding FIR stage (filter_design.compensated_interp_taps).
+    """
+    from radioframe.ops.filter_design import cic_equivalent_taps
+
+    return FirInterpolator(cic_equivalent_taps(L, N, M, norm=True) * L, L)

@@ -39,15 +39,42 @@ class TxChain:
             FD.complex_bandpass_taps(mf.numtaps, mf.ssb_lo, mf.ssb_hi, cfg.fs_audio),
             hop=512,
         )
+        # interpolation plan: ints are FIR stages; CicStage entries are CIC
+        # interpolators (FIR-equivalent block form). A FIR stage immediately
+        # before a CIC gets inverse-sinc pre-compensation for the CIC's
+        # passband droop — the FPGA DUC's comp-FIR folded in, mirror of the
+        # RX side (SURVEY.md §2.1 #10).
+        from radioframe.core.config import CicStage as _Cic
+        from radioframe.ops.interp import cic_interpolator
+
         self.interps = []
         fs = cfg.fs_audio
-        for L in cfg.interp_stages:
+        stages = tuple(cfg.interp_stages)
+        for i, st in enumerate(stages):
+            if isinstance(st, _Cic):
+                self.interps.append(cic_interpolator(st.R, st.N, st.M))
+                fs *= st.R
+                continue
+            L = int(st)
             fs_out = fs * L
-            taps = FD.interp_taps(cfg.numtaps_per_stage, L, fs_out, 0.5 * fs * 0.9)
+            nxt = stages[i + 1] if i + 1 < len(stages) else None
+            if isinstance(nxt, _Cic):
+                taps = FD.compensated_interp_taps(
+                    cfg.numtaps_per_stage, L, fs_out, 0.5 * cfg.fs_audio * 0.9,
+                    cic_L=nxt.R, cic_N=nxt.N, cic_M=nxt.M)
+            else:
+                taps = FD.interp_taps(cfg.numtaps_per_stage, L, fs_out, 0.5 * fs * 0.9)
             self.interps.append(FirInterpolator(taps, L))
             fs = fs_out
         assert abs(fs - cfg.fs_out) < 1e-6, (fs, cfg.fs_out)
         self.comp_decay = agc_op.release_decay(cfg.compressor_release_s, cfg.fs_audio)
+        # TX mic equalizer (reference TX EQ bands): peaking biquad cascade
+        # run as 2x2 associative scans (ops/biquad.py)
+        self.mic_eq = None
+        if cfg.mic_eq_bands:
+            from radioframe.ops.biquad import BiquadCascade
+
+            self.mic_eq = BiquadCascade(FD.peaking_eq_sos(cfg.mic_eq_bands, cfg.fs_audio))
         # phase step per unit audio for NFM (rad/sample at audio rate)
         self.fm_k = TWO_PI * cfg.nfm_deviation_hz / cfg.fs_audio
         self.min_block = int(np.lcm(self.ssb_bpf.hop, 1))
@@ -56,6 +83,7 @@ class TxChain:
         C = self.cfg.channels if num_channels is None else num_channels
         return {
             "dc": demod_op.dc_block_init(C),
+            "eq": self.mic_eq.init_state(C) if self.mic_eq else (),
             "comp": agc_op.init_state(C),
             "ssb": self.ssb_bpf.init_state(C),
             "fm_phase": jnp.zeros((C,), jnp.float32),
@@ -67,8 +95,11 @@ class TxChain:
         cfg = self.cfg
         C, Ta = audio.shape
         assert Ta % self.min_block == 0
-        # --- speech processor: DC block + compressor ------------------------
+        # --- speech processor: DC block + mic EQ + compressor ----------------
         a, dc_state = demod_op.dc_block(state["dc"], audio)
+        eq_state = state.get("eq", ())
+        if self.mic_eq is not None:
+            a, eq_state = self.mic_eq(state["eq"], a)
         a, comp_env, _ = agc_op.apply(
             state["comp"], a, self.comp_decay,
             target=cfg.compressor_target, max_gain=cfg.compressor_max_gain)
@@ -95,6 +126,7 @@ class TxChain:
         iq, nco_acc = nco.mix_up(x, freq_words, state["nco"])
         new_state = {
             "dc": dc_state,
+            "eq": eq_state,
             "comp": comp_env,
             "ssb": ssb_tail,
             "fm_phase": new_fm_phase,

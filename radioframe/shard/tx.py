@@ -19,6 +19,7 @@ from radioframe.pipelines.tx_chain import TWO_PI, TxChain
 from radioframe.shard.halo import (
     causal_halo,
     sharded_affine_scan,
+    sharded_biquad_cascade,
     sharded_maxdecay_scan,
 )
 from radioframe.shard.rx import _halo_tail
@@ -42,6 +43,10 @@ class ShardedTxChain:
         b = audio - xprev
         a_dc, new_dc_y = sharded_affine_scan(0.995, b, state["dc"][1], ta)
         new_dc = jnp.stack([new_dc_x[:, -1], new_dc_y])
+
+        eq_state = ()
+        if chain.mic_eq is not None:
+            a_dc, eq_state = sharded_biquad_cascade(chain.mic_eq, state["eq"], a_dc, ta)
 
         env, new_comp = sharded_maxdecay_scan(chain.comp_decay, jnp.abs(a_dc), state["comp"], ta)
         gain = jnp.minimum(jnp.float32(cfg.compressor_max_gain),
@@ -75,6 +80,7 @@ class ShardedTxChain:
 
         new_state = {
             "dc": new_dc,
+            "eq": eq_state,
             "comp": new_comp,
             "ssb": ssb_carry,
             "fm_phase": new_fm,
@@ -87,6 +93,8 @@ class ShardedTxChain:
         ca = self.ca
         return {
             "dc": P(None, ca),
+            "eq": (tuple(P(ca, None) for _ in self.chain.mic_eq.sections)
+                   if self.chain.mic_eq else ()),
             "comp": P(ca),
             "ssb": P(ca, None),
             "fm_phase": P(ca),
