@@ -82,13 +82,22 @@ def _kernel(TM, J0, R, xr_ref, xi_ref, tl_ref, word_ref, acc_ref, w2_ref, out_re
         wj = w2_ref[j : j + 1]  # (1, R, 1), broadcasts over time tiles + lanes
         accR = accR + mr[j : j + TM] * wj
         accI = accI + mi[j : j + TM] * wj
+    # NOTE: an in-kernel output transpose to (Cp, TM) blocks was tried to
+    # kill the host-side relayout — it REGRESSED the chain 8.08 -> 4.86
+    # Gsps on TPU v5 lite (and failed to lower at TM=64), so the output
+    # stays time-major and the wrapper transposes once at decimated rate.
     out_ref[0, 0] = jnp.sum(accR, axis=1)  # (TM, Cp)
     out_ref[0, 1] = jnp.sum(accI, axis=1)
 
 
-def _pick_tile(M: int, J0: int) -> int:
+def _pick_tile(M: int, J0: int, R: int) -> int:
+    # VMEM budget: the kernel holds ~8 live (TM+J0, R, Cp=128) f32 arrays
+    # (frames, oscillator, mixed, accumulators); keep (TM+J0)*R <= 4096 so
+    # their stack stays well under the 16 MB scoped-vmem limit (observed
+    # OOM at R=32 with TM=128: 17.76 MB > 16 MB).
+    budget = max(8, 4096 // R - J0)
     for t in (128, 64, 32, 16, 8):
-        if M % t == 0 and t >= J0:
+        if t <= budget and M % t == 0 and t >= J0:
             return t
     raise ValueError(f"output length {M} incompatible with history {J0} frames")
 
@@ -124,6 +133,40 @@ class FusedFrontend:
             "tail": jnp.zeros((num_channels, self.H), jnp.complex64),
         }
 
+    def boundary_correction(self, acc, words, tail):
+        """Contribution of the raw history ``tail`` (C, H) to outputs m < J0.
+
+        The fused front end is linear in its input and the DDS oscillator is
+        input-independent, so  y(tail | block) = y(0 | block) + y(tail | 0).
+        This evaluates the second term directly (J0 output samples per
+        channel — tiny). It is the fix-up half of the overlapped halo
+        exchange (SURVEY.md §2.3 ring-halo row): start the async remote copy,
+        run ``step`` on the local block with a ZERO tail (the interior — no
+        dependency on the neighbor), then add this correction once the halo
+        lands. Phases are the DDS's own: θ(n) = (acc + word·n) in int32 Q0.32
+        wrap for n in [-H, 0), identical (mod 2π, up to fp rounding) to the
+        in-kernel factorized oscillator.
+
+        Returns (C, J0) complex64 to add onto ``y[:, :J0]``.
+        """
+        H, J0, R = self.H, self.J0, self.R
+        n = jnp.arange(-H, 0, dtype=jnp.int32)
+        theta = (acc[:, None] + words[:, None] * n[None, :]).astype(jnp.float32) * _SCALE
+        osc = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        mixed = tail * osc  # (C, H)
+        wp = jnp.asarray(self.w2.reshape(-1), jnp.float32)  # ((J0+1)*R,)
+        padded = jnp.pad(mixed, ((0, 0), (0, J0 * R)))
+        # y_corr[m] = sum_k wp[k] * x[mR - H + k] with x zero outside the tail
+        ys = [padded[:, m * R : m * R + (J0 + 1) * R] @ wp for m in range(J0)]
+        return jnp.stack(ys, axis=-1)  # (C, J0)
+
+    # max grid steps per pallas_call: caps the kernel's staged output buffer
+    # at 128 * (2*TM*Cp) * 4 B = 16 MB (one VMEM) — larger blocks OOM the
+    # scoped-vmem allocator when XLA keeps the output VMEM-resident (seen at
+    # R=32, T=655k: f32[160,2,128,128] > 16 MB limit). Longer inputs are
+    # processed as bit-exact streaming chunks (state threads through).
+    MAX_GRID = 128
+
     def step(self, state, iq, words):
         """(state, iq (C, T) c64, words (C,) i32) -> (state, y (C, T//R) c64)."""
         R, H, J0 = self.R, self.H, self.J0
@@ -132,8 +175,15 @@ class FusedFrontend:
         C, T = iq.shape
         assert T % R == 0, f"block length {T} must be a multiple of R={R}"
         M = T // R
-        TM = _pick_tile(M, J0)
+        TM = _pick_tile(M, J0, R)
         grid_m = M // TM
+        if grid_m > self.MAX_GRID:
+            chunk_T = self.MAX_GRID * TM * R
+            ys = []
+            for t0 in range(0, T, chunk_T):
+                state, y = self.step(state, iq[:, t0 : t0 + chunk_T], words)
+                ys.append(y)
+            return state, jnp.concatenate(ys, axis=-1)
         W = TM * R
 
         Cp = -(-C // 128) * 128

@@ -24,18 +24,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _halo_kernel(axis_name, H, x_ref, out_ref, send_sem, recv_sem):
+def _halo_kernel(axis_name, H, interpret, x_ref, out_ref, send_sem, recv_sem):
     D = lax.axis_size(axis_name)
     my_id = lax.axis_index(axis_name)
     right = lax.rem(my_id + 1, D)
     T = x_ref.shape[-1]
+    if interpret:
+        # the interpret-mode discharge rule supports only single-axis
+        # meshes and only scalar LOGICAL ids (upstream pallas limitation)
+        dev_id, dev_type = right, pltpu.DeviceIdType.LOGICAL
+    else:
+        # MESH addressing with a partial dict: only the ring axis moves,
+        # every other mesh axis keeps this shard's coordinate — the form
+        # that works on multi-axis (channel x time) meshes over real ICI
+        dev_id, dev_type = {axis_name: right}, pltpu.DeviceIdType.MESH
     rdma = pltpu.make_async_remote_copy(
         src_ref=x_ref.at[:, pl.ds(T - H, H)],
         dst_ref=out_ref,
         send_sem=send_sem,
         recv_sem=recv_sem,
-        device_id=right,  # scalar logical id (tuple form unsupported in interpret mode)
-        device_id_type=pltpu.DeviceIdType.LOGICAL,
+        device_id=dev_id,
+        device_id_type=dev_type,
     )
     rdma.start()
     rdma.wait()
@@ -56,7 +65,7 @@ def ring_halo_dma(x_local, H: int, axis_name: str = "time", interpret: bool = Fa
         Hf = 2 * H
     else:
         xf, Hf = x_local, H
-    kern = functools.partial(_halo_kernel, axis_name, Hf)
+    kern = functools.partial(_halo_kernel, axis_name, Hf, interpret)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, Hf), xf.dtype),
@@ -72,14 +81,25 @@ def ring_halo_dma(x_local, H: int, axis_name: str = "time", interpret: bool = Fa
     return out
 
 
-def causal_halo_dma(x_local, carry, H: int, axis: str = "time", interpret: bool = False):
-    """Drop-in for shard.halo.causal_halo using the Pallas RDMA transport."""
+def causal_halo_dma(x_local, carry, H: int, axis: str = "time", interpret: bool = False,
+                    ppermute_fallback: bool = False):
+    """Drop-in for shard.halo.causal_halo using the Pallas RDMA transport.
+
+    ``ppermute_fallback`` routes the transfer through lax.ppermute instead of
+    the Pallas kernel while keeping this API — used when the caller runs on a
+    multi-axis mesh in interpret mode (the interpret discharge rule upstream
+    only handles single-axis meshes), so the surrounding overlap structure
+    (zero-tail interior + boundary correction) is still exercised on CPU.
+    """
     if H == 0:
         return x_local, carry
     D = lax.axis_size(axis)
     if D == 1:
         return jnp.concatenate([carry, x_local], axis=-1), x_local[..., -H:]
-    recv = ring_halo_dma(x_local, H, axis, interpret)
+    if ppermute_fallback:
+        recv = lax.ppermute(x_local[..., -H:], axis, [(i, (i + 1) % D) for i in range(D)])
+    else:
+        recv = ring_halo_dma(x_local, H, axis, interpret)
     d = lax.axis_index(axis)
     is0 = (d == 0)
     prepend = jnp.where(is0, carry, recv)

@@ -82,6 +82,56 @@ class TestFusedFrontend:
             np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
                                        atol=1e-4)
 
+    def test_boundary_correction_linearity(self, rng):
+        """y(tail | block) == y(0 | block) + boundary_correction(tail):
+        the linearity split that lets the RDMA halo overlap the interior."""
+        R, L, C, T = 8, 29, 4, 2048
+        taps = FD.cic_equivalent_taps(R, 4, 1)
+        fus = FusedFrontend(taps, R, interpret=True)
+        words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
+        x = jnp.asarray(_iq(rng, C, T))
+        tail = jnp.asarray(_iq(rng, C, fus.H))
+        acc = jnp.asarray(rng.integers(-2**31, 2**31, C, dtype=np.int32))
+        _, y_full = fus.step({"acc": acc, "tail": tail}, x, words)
+        _, y_zero = fus.step({"acc": acc, "tail": jnp.zeros_like(tail)}, x, words)
+        corr = fus.boundary_correction(acc, words, tail)
+        got = np.asarray(y_zero).copy()
+        got[:, : fus.J0] += np.asarray(corr)
+        np.testing.assert_allclose(got, np.asarray(y_full), atol=3e-5)
+        # outputs past J0 don't depend on the tail at all
+        np.testing.assert_array_equal(np.asarray(y_zero)[:, fus.J0:],
+                                      np.asarray(y_full)[:, fus.J0:])
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_sharded_fused_rdma_halo_matches_ppermute(self, rng, mesh_shape):
+        """halo_transport='rdma' (Pallas make_async_remote_copy + linearity
+        overlap) == the ppermute transport, streaming across blocks."""
+        from radioframe.pipelines.rx_chain import RxChain
+        from radioframe.shard.rx import ShardedRxChain
+
+        C = 8
+        base = dict(channels=C, ols_hop=512, fuse_frontend=True)
+        ch_pp = RxChain(RxConfig(**base))
+        ch_rd = RxChain(RxConfig(**base, halo_transport="rdma"))
+        devs = jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+        mesh = jax.make_mesh(mesh_shape, ("channel", "time"), devices=devs)
+        s_pp, s_rd = ShardedRxChain(ch_pp, mesh), ShardedRxChain(ch_rd, mesh)
+        T = 8 * ch_pp.min_block
+        words = jnp.asarray(nco.freq_word(np.linspace(-80e3, 80e3, C), 192e3))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        st_p, st_r = ch_pp.init_state(C), ch_rd.init_state(C)
+        step_p, step_r = jax.jit(s_pp.step), jax.jit(s_rd.step)
+        for blk in range(2):
+            x = jnp.asarray(_iq(rng, C, T))
+            st_p, a_p, _ = step_p(st_p, x, words, mode)
+            st_r, a_r, _ = step_r(st_r, x, words, mode)
+            skip = 512 if blk == 0 else 0  # warm-up (see test_sharded.py)
+            np.testing.assert_allclose(np.asarray(a_r)[:, skip:],
+                                       np.asarray(a_p)[:, skip:], atol=2e-4)
+        # raw-IQ halo carry identical through both transports
+        np.testing.assert_allclose(np.asarray(st_r["decim"][0]),
+                                   np.asarray(st_p["decim"][0]), atol=1e-6)
+
     @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
     def test_sharded_fused_matches_unsharded_fused(self, rng, mesh_shape):
         """Time-sharded fused front end (raw-IQ halo + accumulator offset)
