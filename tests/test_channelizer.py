@@ -109,10 +109,40 @@ class TestShardedChannelizer:
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
                                    np.asarray(ref_aux["waterfall"]), atol=1e-2)
-        np.testing.assert_allclose(np.asarray(got_st["agc"]), np.asarray(ref_st["agc"]),
-                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_st["agc"]["env"]),
+                                   np.asarray(ref_st["agc"]["env"]), atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_st["pfb"]), np.asarray(ref_st["pfb"]),
                                    atol=1e-5)
+
+    def test_config5_full_scale_4096_channels(self, rng):
+        """BASELINE config 5 at its TRUE scale: M=4096 channels on the
+        8-device mesh, sharded == unsharded, plus per-channel AGC/demod and
+        the wideband waterfall. Minimum legal block (T = 8 shards x 32768;
+        halo (K-1)*M = 28672 <= T_loc = 32768)."""
+        M, D = 4096, 8
+        cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
+                                emit_spectrum=True, spectrum_nfft=4096)
+        chain = ChannelizerChain(cfg)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        T = D * chain.min_block  # 262144 wideband samples, F=64 frames/channel
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 6, jnp.int32)  # all six modes in play
+
+        st = chain.init_state()
+        ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        st2 = chain.init_state()
+        got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        assert got_audio.shape == (M, T // M)
+        W = chain.pfb.K  # PFB warm-up frames (see note above)
+        np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
+                                   np.asarray(ref_audio)[:, W:], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_aux["channel_power"]),
+                                   np.asarray(ref_aux["channel_power"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
+                                   np.asarray(ref_aux["waterfall"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(got_st["agc"]["env"]),
+                                   np.asarray(ref_st["agc"]["env"]), atol=2e-4)
 
     def test_sharded_streaming(self, rng):
         M, D = 32, 4
