@@ -57,7 +57,12 @@ class CatServer:
         fn = getattr(self, f"_cmd_{name.lower()}", None)
         if fn is None:
             return "?;"
-        resp = fn(arg)
+        try:
+            resp = fn(arg)
+        except (ValueError, IndexError):
+            # malformed argument (e.g. corrupted frame, non-numeric digits):
+            # answer '?;' per Kenwood convention instead of crashing the server
+            return "?;"
         return resp if resp is not None else ""
 
     # -- commands ---------------------------------------------------------------
@@ -91,12 +96,13 @@ class CatServer:
         self.trx.ptt(False)
         return None
 
-    def _cmd_fr(self, arg):  # receive VFO (0=A, 1=B)
+    def _cmd_fr(self, arg):  # receive VFO (0=A, 1=B) — absolute, idempotent
         if arg:
-            if arg[0] == "1":
-                self.trx.swap_vfo(self.ch)
+            if arg[0] not in "01":
+                return "?;"
+            self.trx.select_rx_vfo(self.ch, int(arg[0]))
             return None
-        return "FR0;"
+        return f"FR{self.trx.rx_vfo(self.ch)};"
 
     def _cmd_ft(self, arg):  # transmit VFO -> split on/off
         if arg:
@@ -148,7 +154,7 @@ class CatServer:
             "000",                      # P6/P7 memory bank/channel
             "1" if t.transmitting else "0",    # P8 TX/RX
             MODE_TO_DIGIT[t.mode(self.ch)],    # P9 mode
-            "0",                        # P10 FR/FT vfo
+            str(t.rx_vfo(self.ch)),     # P10 receive VFO (0=A, 1=B)
             "0",                        # P11 scan
             "1" if t._split[self.ch] else "0", # P12 split
             "0", "00", "0",             # P13 tone, P14 tone no, P15 shift

@@ -82,6 +82,23 @@ class Radio:
 
     # -- observability -------------------------------------------------------
 
+    def capabilities(self) -> dict:
+        """Feature/interop status map (surfaced in the CLI `info` command).
+
+        Flags the digital modes whose code tables are PROVISIONAL stand-ins
+        (zero-egress build; see ops/ft8.py / ops/wspr.py headers): they
+        round-trip against this framework's own encoders but do not claim
+        on-air interop until the published tables land.
+        """
+        from radioframe.ops import ft8, wspr
+
+        caps = {"modes": sorted(set(MODE_BY_NAME)), "ft8": True, "wspr": True}
+        if ft8.INTEROP_PROVISIONAL:
+            caps["ft8_interop"] = "PROVISIONAL: " + ", ".join(ft8.PROVISIONAL_ITEMS)
+        if wspr.INTEROP_PROVISIONAL:
+            caps["wspr_interop"] = "PROVISIONAL: " + ", ".join(wspr.PROVISIONAL_ITEMS)
+        return caps
+
     def metrics(self) -> dict:
         """Per-channel metrics from the last processed block."""
         if self.last_aux is None:

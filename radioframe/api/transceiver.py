@@ -65,6 +65,7 @@ class Transceiver:
         self._split = np.zeros(C, bool)
         self._rit = np.zeros(C, np.float64)  # RX incremental tuning (Hz)
         self._xit = np.zeros(C, np.float64)  # TX incremental tuning (Hz)
+        self._rx_vfo = np.zeros(C, np.int32)  # receive VFO select: 0=A, 1=B
         self._modes = np.zeros(C, np.int32)
         self._ptt = False
         self.band_memory = BandMemory()
@@ -85,6 +86,14 @@ class Transceiver:
 
     def split(self, channel: int, enabled: bool):
         self._split[channel] = enabled
+
+    def select_rx_vfo(self, channel: int, which: int):
+        """Absolute receive-VFO selection (0=A, 1=B) — idempotent, unlike
+        swap_vfo; CAT FR re-asserts this on every client reconnect."""
+        self._rx_vfo[channel] = 1 if which else 0
+
+    def rx_vfo(self, channel: int) -> int:
+        return int(self._rx_vfo[channel])
 
     def rit(self, channel: int, offset_hz: float):
         self._rit[channel] = offset_hz
@@ -117,7 +126,8 @@ class Transceiver:
         return self._ptt
 
     def rx_frequency(self, channel: int) -> float:
-        return float(self._vfo_a[channel] + self._rit[channel])
+        vfo = self._vfo_b if self._rx_vfo[channel] else self._vfo_a
+        return float(vfo[channel] + self._rit[channel])
 
     def tx_frequency(self, channel: int) -> float:
         vfo = self._vfo_b if self._split[channel] else self._vfo_a
@@ -134,6 +144,13 @@ class Transceiver:
         rx_words = jnp.asarray(nco.freq_word(rx_f, self.rx_cfg.fs_in))
         tx_words = jnp.asarray(nco.freq_word(tx_f, self.tx_cfg.fs_out))
         modes = jnp.asarray(self._modes)
+        # the TX modulator bank has no SAM entry (SAM is a receive technique;
+        # its transmit form IS plain AM) — map it so the gather never clamps
+        # out of range into the wrong modulator
+        from radioframe.ops import demod as demod_op
+
+        tx_modes = jnp.asarray(np.where(self._modes == demod_op.SAM,
+                                        demod_op.AM, self._modes).astype(np.int32))
         iq = jnp.asarray(rx_iq, jnp.complex64)
         if iq.ndim == 1:
             iq = iq[None, :]
@@ -141,7 +158,7 @@ class Transceiver:
         if mic.ndim == 1:
             mic = jnp.broadcast_to(mic[None, :], (C, mic.shape[0]))
         self.state, rx_audio, tx_iq, aux = self._step(
-            self.state, iq, mic, rx_words, modes, tx_words, modes)
+            self.state, iq, mic, rx_words, modes, tx_words, tx_modes)
         self.last_aux = aux
         rx_audio = np.asarray(rx_audio)
         tx_iq = np.asarray(tx_iq)

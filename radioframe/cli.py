@@ -28,6 +28,12 @@ def _cmd_info(args):
     chain = RxChain(RxConfig())
     print(f"default RX chain: fs_in={chain.cfg.fs_in:.0f} Hz, decim={chain.cfg.decim}, "
           f"audio fs={chain.cfg.fs_audio:.0f} Hz, min block={chain.min_block}")
+    from radioframe.ops import ft8, wspr
+
+    for name, mod in (("FT8", ft8), ("WSPR", wspr)):
+        if getattr(mod, "INTEROP_PROVISIONAL", False):
+            print(f"{name}: on-air interop PROVISIONAL "
+                  f"(stand-in tables: {', '.join(mod.PROVISIONAL_ITEMS)})")
     return 0
 
 

@@ -54,6 +54,81 @@ class BlockStream:
         return outs, auxs
 
 
+class CaptureSource:
+    """Capture thread -> lock-free ring -> block iterator.
+
+    The full `[U:fpga.c]` ISR-boundary replacement (SURVEY.md §2.1 #5): a
+    producer thread plays the bus-read ISR — it pulls interleaved int16 IQ
+    chunks from ``producer``, converts them to complex64 in native code
+    (radioframe.native.iq_i16_to_c64), and pushes them into the lock-free
+    SPSC ring (native/iqtransport.c). The consumer side (this iterator,
+    normally driven by BlockStream.run) pops fixed-length blocks, exactly
+    like the reference's audio loop firing on ring-half-full. A full ring
+    blocks the producer briefly, then drops the chunk and increments
+    ``overruns`` — the reference's ISR overrun counter.
+
+    >>> src = CaptureSource(pcm_chunks, block_len=4096)
+    >>> outs, auxs = BlockStream(chain.step, state).run(src, words, mode)
+    """
+
+    def __init__(self, producer, block_len: int, channels: int = 1,
+                 capacity_blocks: int = 8, scale: float = 1.0 / 32767.0,
+                 overrun_wait_s: float = 0.005, overrun_retries: int = 20):
+        from radioframe.native import RingBuffer
+
+        self.block_len = int(block_len)
+        self.channels = int(channels)
+        self._scale = scale
+        self._block_bytes = self.channels * self.block_len * 8  # complex64
+        self.ring = RingBuffer(capacity_blocks * self._block_bytes)
+        self._producer = producer
+        self.overruns = 0
+        self._wait = overrun_wait_s
+        self._retries = overrun_retries
+        self._done = False
+        self._thread = None
+
+    # -- producer side (the "ISR") -------------------------------------------
+
+    def _capture_loop(self):
+        import time
+
+        from radioframe.native import iq_i16_to_c64
+
+        for pcm in self._producer:
+            iq = iq_i16_to_c64(pcm, self._scale)
+            for attempt in range(self._retries):
+                if self.ring.write(iq):
+                    break
+                time.sleep(self._wait)  # consumer catching up
+            else:
+                self.overruns += 1  # ring stayed full: drop (ISR semantics)
+        self._done = True
+
+    def start(self):
+        import threading
+
+        self._thread = threading.Thread(target=self._capture_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    # -- consumer side (the block loop) ---------------------------------------
+
+    def __iter__(self):
+        import time
+
+        if self._thread is None:
+            self.start()
+        while True:
+            blk = self.ring.read(self._block_bytes)
+            if blk is not None:
+                yield blk.reshape(self.channels, self.block_len)
+                continue
+            if self._done and self.ring.fill < self._block_bytes:
+                return  # drained (partial tail < one block is discarded)
+            time.sleep(0.0005)  # underrun: wait for the capture thread
+
+
 def wav_blocks(path: str, block_len: int):
     """Yield complex64 IQ blocks from a stereo WAV capture (zero-pad tail)."""
     from radioframe.io.wav import read_wav

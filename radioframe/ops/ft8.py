@@ -26,6 +26,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# Runtime-discoverable interop status (VERDICT r1 #8): decodes round-trip
+# against our own encoder, but on-air interop is NOT claimed until the
+# items below are replaced with the published tables (data-only change).
+INTEROP_PROVISIONAL = True
+PROVISIONAL_ITEMS = ("LDPC(174,91) parity matrix", "CRC-14 polynomial/padding", "77-bit packing offsets")
+
 import jax.numpy as jnp
 
 from radioframe.ops import fec

@@ -23,6 +23,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# Runtime-discoverable interop status (VERDICT r1 #8): decodes round-trip
+# against our own encoder, but on-air interop is NOT claimed until the
+# items below are replaced with the published tables (data-only change).
+INTEROP_PROVISIONAL = True
+PROVISIONAL_ITEMS = ("162-bit sync vector",)
+
 from radioframe.ops import fec
 
 POLYS = (0xF2D05351, 0xE4613C47)  # WSPR convolutional polynomials (K=32)

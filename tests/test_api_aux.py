@@ -110,3 +110,14 @@ class TestRadioOnMesh:
         r2.set_mode(0, "ssb")
         ref = r2.process(np.broadcast_to(iq, (4, len(iq))).copy())
         np.testing.assert_allclose(audio[:, 512:], ref[:, 512:], atol=1e-3)
+
+
+def test_capabilities_flags_provisional_digital_modes():
+    """VERDICT r1 #8: the FT8/WSPR stand-in tables are user-visible."""
+    from radioframe.api.radio import Radio
+    from radioframe.core.config import RxConfig
+
+    caps = Radio(RxConfig(channels=1)).capabilities()
+    assert "ssb" in caps["modes"] and caps["ft8"] and caps["wspr"]
+    assert caps["ft8_interop"].startswith("PROVISIONAL")
+    assert caps["wspr_interop"].startswith("PROVISIONAL")
