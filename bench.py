@@ -44,7 +44,7 @@ def bench_adc_rate():
 
     C, iters = 128, 4  # 128 channels -> full lane tile (C=8 wastes 94% of
     # the padded (Cp=128) kernel lanes: measured 0.59 vs 6.47 Gsps)
-    cfg = presets.adc_61m44(channels=C, fuse_frontend=True)
+    cfg = presets.adc_61m44(channels=C, fuse_frontend=True, fuse_frontend_depth=2)
     chain = RxChain(cfg)
     T = chain.min_block  # 655360 input samples (R=1280 x hop 512)
     rng = np.random.default_rng(1)
@@ -123,8 +123,8 @@ def main():
         channels=C,
         stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
         ols_hop=512,
-        fuse_frontend=True,  # fused NCO+CIC Pallas kernel (stage timing showed
-                             # the full-rate front end was 68% of chain compute)
+        fuse_frontend=True,      # fused NCO+CIC(+comp FIR) Pallas front end
+        fuse_frontend_depth=2,   # stage 2 consumed in-VMEM (fused_frontend2)
     )
     chain = RxChain(cfg)
     T = 8 * chain.min_block
@@ -171,6 +171,19 @@ def main():
         "device": str(dev), "channels": C, "block_T": T, "decim": cfg.decim,
         "iters": blocks, "seconds": round(dt, 4),
     }
+    # steady-state number at deeper dispatch amortization (the ~27 ms axon
+    # tunnel round trip costs 0.43 ms/block at 64 iters, 0.11 at 256 —
+    # production streaming runs persistent loops, so this is the honest
+    # continuous-operation figure; the headline stays the 64-iter run)
+    state, s = run(state, iq_ri, words, mode, n=4 * blocks)
+    float(s)
+    t0 = time.perf_counter()
+    state, s = run(state, iq_ri, words, mode, n=4 * blocks)
+    float(s)
+    dt4 = time.perf_counter() - t0
+    detail["steady_state_256iter"] = {
+        "samples_per_s": round(C * T * 4 * blocks / dt4, 1),
+        "seconds": round(dt4, 4)}
     # bench matrix (VERDICT r1 #4): the other two dataflows, logged in
     # detail so the driver-parsed flagship line stays the headline
     import os

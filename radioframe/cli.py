@@ -82,6 +82,38 @@ def _cmd_decode(args):
     return 0
 
 
+def _cmd_tx(args):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radioframe.core.config import TxConfig
+    from radioframe.io.wav import read_wav, write_wav
+    from radioframe.ops import demod as demod_op
+    from radioframe.ops import nco
+    from radioframe.pipelines.tx_chain import TxChain
+
+    audio, fs = read_wav(args.wav)
+    if np.iscomplexobj(audio):
+        print("tx expects a MONO audio WAV", file=sys.stderr)
+        return 1
+    tx = TxChain(TxConfig(channels=1, fs_audio=fs, fs_out=fs * 4,
+                          mic_eq_bands=tuple(args.eq or ())))
+    n = (len(audio) // tx.min_block) * tx.min_block
+    if n == 0:
+        print(f"audio too short: {len(audio)} < one block ({tx.min_block})",
+              file=sys.stderr)
+        return 1
+    w = jnp.asarray([nco.freq_word(args.freq, tx.cfg.fs_out)], jnp.int32)
+    mode = jnp.asarray([demod_op.MODE_NAMES[args.mode]], jnp.int32)
+    st = tx.init_state(1)
+    st, iq = tx.step(st, jnp.asarray(audio[None, :n], jnp.float32), w, mode)
+    iq = np.asarray(iq)[0]
+    write_wav(args.out, iq, tx.cfg.fs_out)
+    print(f"{args.wav}: {n} audio samples @ {fs:.0f} Hz -> {len(iq)} IQ samples "
+          f"@ {tx.cfg.fs_out:.0f} Hz ({args.mode} @ {args.freq:+.0f} Hz) -> {args.out}")
+    return 0
+
+
 def _cmd_demo(args):
     import examples.rx_demo  # noqa: F401  (runs via its main)
     sys.argv = ["rx_demo"] + (["--blocked"] if args.blocked else [])
@@ -109,12 +141,21 @@ def main(argv=None):
     dec.add_argument("--rtty", action="store_true")
     dec.add_argument("--tone", type=float, default=600.0)
 
+    tx = sub.add_parser("tx", help="modulate a mono audio WAV to an IQ WAV (DUC)")
+    tx.add_argument("--wav", required=True, help="mono audio WAV input")
+    tx.add_argument("--freq", type=float, default=0.0, help="TX carrier offset Hz")
+    tx.add_argument("--mode", default="ssb", choices=["ssb", "lsb", "cw", "am", "nfm"])
+    tx.add_argument("--out", default="tx_iq.wav")
+    tx.add_argument("--eq", type=lambda s: tuple(float(v) for v in s.split(",")),
+                    nargs="*", help="mic EQ bands as freq,gain_db,Q triples")
+
     demo = sub.add_parser("demo", help="run the 4-mode synthetic demo")
     demo.add_argument("--blocked", action="store_true")
     demo.add_argument("--snr", type=float, default=None)
 
     args = ap.parse_args(argv)
-    return {"info": _cmd_info, "rx": _cmd_rx, "decode": _cmd_decode, "demo": _cmd_demo}[args.cmd](args)
+    return {"info": _cmd_info, "rx": _cmd_rx, "tx": _cmd_tx, "decode": _cmd_decode,
+            "demo": _cmd_demo}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -88,10 +88,14 @@ class RxConfig:
     cw_tone_hz: float = 600.0
     nfm_deviation_hz: float = 2500.0
     ols_hop: int = 512
-    use_pallas_fir: bool = False  # Pallas kernel for real-tap decim stages
     # fuse NCO mix + first decimator into one Pallas kernel (saves the
     # full-ADC-rate HBM round trips; see kernels/fused_frontend.py)
     fuse_frontend: bool = False
+    # how many decimation stages the fused kernel swallows: 2 additionally
+    # fuses the second FIR stage in-VMEM (kernels/fused_frontend2.py) when
+    # it is real-tapped with a power-of-two R — the stage-1 output then
+    # never round-trips HBM at fs/R1
+    fuse_frontend_depth: int = 1
     # transport for the fused front end's full-rate raw-IQ halo under time
     # sharding: "ppermute" (XLA-scheduled) or "rdma" (explicit Pallas
     # make_async_remote_copy, overlapped with the interior compute via the

@@ -104,8 +104,7 @@ class OverlapSaveBank:
     def init_state(self, num_channels: int):
         return jnp.zeros((num_channels, self.L - 1), dtype=jnp.complex64)
 
-    def __call__(self, tail, x):
-        """(tail (C, L-1), x (C, T)) -> (y (K, C, T), new_tail)."""
+    def _frames(self, tail, x):
         C, T = x.shape
         S = self.hop
         assert T % S == 0, f"block length {T} must be a multiple of OLS hop {S}"
@@ -114,8 +113,29 @@ class OverlapSaveBank:
         pad = F * S + self.nfft - S - xp.shape[-1]
         xp_f = jnp.pad(xp, ((0, 0), (0, pad))) if pad > 0 else xp
         frames = jnp.fft.fft(_overlapped_frames(xp_f, F, S, self.nfft), axis=-1)  # (C, F, nfft)
+        new_tail = xp[:, xp.shape[-1] - (self.L - 1):] if self.L > 1 else xp[:, :0]
+        return frames, new_tail
+
+    def __call__(self, tail, x):
+        """(tail (C, L-1), x (C, T)) -> (y (K, C, T), new_tail)."""
+        C, T = x.shape
+        frames, new_tail = self._frames(tail, x)
         Y = frames[None] * jnp.asarray(self._H)[:, None, None, :]  # (K, C, F, nfft)
         y = jnp.fft.ifft(Y, axis=-1)[..., self.L - 1:]
         y = y.reshape(self._H.shape[0], C, T).astype(jnp.complex64)
-        new_tail = xp[:, xp.shape[-1] - (self.L - 1):] if self.L > 1 else xp[:, :0]
         return y, new_tail
+
+    def apply_selected(self, tail, x, row):
+        """One filter per channel: (tail, x (C, T), row (C,) int32) -> (y (C, T), tail').
+
+        Selects each channel's frequency response BEFORE the inverse FFT, so
+        the bank costs one forward + ONE inverse FFT instead of K — the K-fold
+        (K, C, F, nfft) intermediate never exists. Identical numerics to
+        ``__call__`` followed by take_along_axis (the gather commutes with
+        the linear IFFT).
+        """
+        C, T = x.shape
+        frames, new_tail = self._frames(tail, x)
+        Hc = jnp.take(jnp.asarray(self._H), row, axis=0)  # (C, nfft)
+        y = jnp.fft.ifft(frames * Hc[:, None, :], axis=-1)[..., self.L - 1:]
+        return y.reshape(C, T).astype(jnp.complex64), new_tail

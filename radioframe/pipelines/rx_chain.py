@@ -34,23 +34,13 @@ class RxChain:
         self.decimators = []
         fs = cfg.fs_in
         prev_cic: CicStage | None = None
-        def _mk_decim(taps, R):
-            if cfg.use_pallas_fir:
-                from radioframe.kernels.polyphase_fir import PallasFirDecimator
-
-                return PallasFirDecimator(taps, R)
-            return FirDecimator(taps, R)
-
         self._stage_taps = []  # real taps per stage (for kernel swap-ins)
         for st in cfg.stages:
             if isinstance(st, CicStage):
                 from radioframe.ops.filter_design import cic_equivalent_taps
 
                 self._stage_taps.append(cic_equivalent_taps(st.R, st.N, st.M))
-                if cfg.use_pallas_fir:
-                    self.decimators.append(_mk_decim(self._stage_taps[-1], st.R))
-                else:
-                    self.decimators.append(cic_decimator(st.R, st.N, st.M))
+                self.decimators.append(cic_decimator(st.R, st.N, st.M))
                 prev_cic = st
                 fs /= st.R
             elif isinstance(st, FirStage):
@@ -64,23 +54,37 @@ class RxChain:
                 else:
                     taps = FD.lowpass_taps(st.numtaps, min(st.passband_hz, stop), fs)
                 self._stage_taps.append(taps)
-                self.decimators.append(_mk_decim(taps, st.R))
+                self.decimators.append(FirDecimator(taps, st.R))
                 prev_cic = None
                 fs /= st.R
             else:
                 raise TypeError(f"unknown stage {st!r}")
         assert abs(fs - cfg.fs_audio) < 1e-6
-        # fused NCO+decimator front end (kernels/fused_frontend.py): replaces
-        # nco.mix_down + decimators[0] with one Pallas pass over the raw IQ
+        # fused NCO+decimator front end: replaces nco.mix_down + the first
+        # (depth 1, kernels/fused_frontend.py) or first two (depth 2,
+        # kernels/fused_frontend2.py) decimators with one Pallas pass
         self.fused = None
+        self.fused_stages = 0
         if cfg.fuse_frontend and self.decimators:
             import jax
 
-            from radioframe.kernels.fused_frontend import FusedFrontend
+            interp = jax.default_backend() == "cpu"
+            R2 = self.decimators[1].R if len(self.decimators) > 1 else 0
+            if (cfg.fuse_frontend_depth >= 2 and len(self.decimators) >= 2
+                    and not np.iscomplexobj(self._stage_taps[1])
+                    and R2 > 1 and (R2 & (R2 - 1)) == 0):
+                from radioframe.kernels.fused_frontend2 import FusedFrontend2
 
-            self.fused = FusedFrontend(
-                self._stage_taps[0], self.decimators[0].R,
-                interpret=jax.default_backend() == "cpu")
+                self.fused = FusedFrontend2(
+                    self._stage_taps[0], self.decimators[0].R,
+                    self._stage_taps[1], R2, interpret=interp)
+                self.fused_stages = 2
+            else:
+                from radioframe.kernels.fused_frontend import FusedFrontend
+
+                self.fused = FusedFrontend(
+                    self._stage_taps[0], self.decimators[0].R, interpret=interp)
+                self.fused_stages = 1
         mf = cfg.mode_filters
         fa = cfg.fs_audio
         self.mode_bank = OverlapSaveBank(
@@ -134,11 +138,13 @@ class RxChain:
         if self.fused is not None:
             fst = self.fused.init_state(C)
             decim0 = (fst["tail"],)
+            rest = self.decimators[self.fused_stages :]
         else:
             decim0 = (self.decimators[0].init_state(C),) if self.decimators else ()
+            rest = self.decimators[1:]
         return {
             "nco": nco.init_state(C),
-            "decim": decim0 + tuple(d.init_state(C) for d in self.decimators[1:]),
+            "decim": decim0 + tuple(d.init_state(C) for d in rest),
             "bpf": self.mode_bank.init_state(C),
             "demod": demod_op.bank_init(C),
             "agc": self.agc_bank.init_state(C),
@@ -163,7 +169,7 @@ class RxChain:
             fst, x = self.fused.step(fst, iq, freq_words)
             nco_acc = fst["acc"]
             tails = [fst["tail"]]
-            rest = zip(self.decimators[1:], state["decim"][1:])
+            rest = zip(self.decimators[self.fused_stages :], state["decim"][1:])
         else:
             x, nco_acc = nco.mix_down(iq, freq_words, state["nco"])
             tails = []
@@ -174,8 +180,10 @@ class RxChain:
         nb_state = state.get("nb", ())
         if self.nb:
             x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter
-        filt, bpf_tail = self.mode_bank(state["bpf"], x)  # (5, C, Ta)
-        sel = jnp.take_along_axis(filt, demod_op.filter_index(mode)[None, :, None], axis=0)[0]
+        # per-channel mode filter, selected in the FREQUENCY domain: one
+        # forward + one inverse FFT instead of K (ops/ols.py apply_selected)
+        sel, bpf_tail = self.mode_bank.apply_selected(
+            state["bpf"], x, demod_op.filter_index(mode))
         notch_state = state.get("notch", ())
         if self.notch:
             sel, notch_state = self.notch(state["notch"], sel)

@@ -73,7 +73,8 @@ class ShardedRxChain:
             # unsharded); the halo carries RAW iq, mixed inside the kernel at
             # its true global indices.
             acc_d = state["nco"] + words * (d * jnp.int32(T_loc))
-            if cfg.halo_transport == "rdma" and chain.fused.H:
+            H_halo = chain.fused.tail_len  # raw samples (H1, or H2*R1+H1 fused2)
+            if cfg.halo_transport == "rdma" and chain.fused_stages == 1 and H_halo:
                 # explicit Pallas RDMA halo, overlapped with compute
                 # (SURVEY.md §2.3 ring-halo row): start the async remote
                 # copy, run the fused kernel on the LOCAL block with a zero
@@ -90,19 +91,21 @@ class ShardedRxChain:
                 # meshes get the true RDMA (dict-MESH addressing)
                 on_cpu = _jax.default_backend() == "cpu"
                 xp_h, carry0 = causal_halo_dma(
-                    iq, state["decim"][0], chain.fused.H, ta,
+                    iq, state["decim"][0], H_halo, ta,
                     interpret=on_cpu, ppermute_fallback=on_cpu)
-                prepend = xp_h[..., : chain.fused.H]
+                prepend = xp_h[..., :H_halo]
                 fst = {"acc": acc_d, "tail": jnp.zeros_like(prepend)}
                 _, x = chain.fused.step(fst, iq, words)
                 corr = chain.fused.boundary_correction(acc_d, words, prepend)
                 x = x.at[:, : chain.fused.J0].add(corr)
             else:
-                prepend, carry0 = _halo_tail(iq, state["decim"][0], chain.fused.H, ta)
+                # (depth-2 fusion uses this path regardless of transport:
+                # the overlap split applies to the single-stage kernel only)
+                prepend, carry0 = _halo_tail(iq, state["decim"][0], H_halo, ta)
                 fst = {"acc": acc_d, "tail": prepend}
                 _, x = chain.fused.step(fst, iq, words)
             tails = [carry0]
-            dec_rest = zip(chain.decimators[1:], state["decim"][1:])
+            dec_rest = zip(chain.decimators[chain.fused_stages:], state["decim"][1:])
         else:
             # NCO: local segment at global offset d*T_loc, no comms
             x = nco.mix_down_at(iq, words, state["nco"], d * jnp.int32(T_loc))
@@ -124,10 +127,10 @@ class ShardedRxChain:
             mask = p > chain.nb.k2 * jnp.maximum(avg, 1e-12)
             x = jnp.where(mask, jnp.zeros((), x.dtype), x)
 
-        # mode-filter OLS bank: halo at audio rate
+        # mode-filter OLS bank: halo at audio rate; per-channel response
+        # selected in the frequency domain (one IFFT, see ops/ols.py)
         prepend, bpf_carry = _halo_tail(x, state["bpf"], chain.mode_bank.L - 1, ta)
-        filt, _ = chain.mode_bank(prepend, x)  # (5, C, Ta_loc)
-        sel = jnp.take_along_axis(filt, demod_op.filter_index(mode)[None, :, None], axis=0)[0]
+        sel, _ = chain.mode_bank.apply_selected(prepend, x, demod_op.filter_index(mode))
 
         # auto-notch: per-bin EMA from the GLOBAL frame mean (psum over time)
         notch_state = ()
@@ -285,7 +288,9 @@ class ShardedRxChain:
         ca = self.ca
         return {
             "nco": P(ca),
-            "decim": tuple(P(ca, None) for _ in self.chain.decimators),
+            "decim": tuple(P(ca, None) for _ in range(
+                len(self.chain.decimators) - self.chain.fused_stages
+                + (1 if self.chain.fused else 0))),
             "bpf": P(ca, None),
             "demod": {"cw_phase": P(ca), "am_dc": P(None, ca), "nfm_last": P(ca),
                       "sam_dc": P(None, ca), "sam_carrier": P(None, ca)},

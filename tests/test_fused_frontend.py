@@ -164,3 +164,102 @@ class TestFusedFrontend:
         np.testing.assert_array_equal(np.asarray(st_s["nco"]), np.asarray(st_r["nco"]))
         np.testing.assert_allclose(np.asarray(st_s["decim"][0]),
                                    np.asarray(st_r["decim"][0]), atol=1e-6)
+
+
+class TestFusedFrontend2:
+    """v2 kernel: scratch-carried history + optional fused stage 2
+    (kernels/fused_frontend2.py)."""
+
+    def test_two_stage_matches_composed(self, rng):
+        from radioframe.kernels.fused_frontend2 import FusedFrontend2
+
+        R1, R2 = 8, 4
+        taps1 = FD.cic_equivalent_taps(R1, 4, 1)
+        taps2 = FD.lowpass_taps(97, 0.4 / R2, 1.0)
+        ref1, ref2 = FirDecimator(taps1, R1), FirDecimator(taps2, R2)
+        fus = FusedFrontend2(taps1, R1, taps2, R2, interpret=True)
+        C, T = 5, 16384
+        words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 5e5, 1.536e6))
+        x = _iq(rng, C, 3 * T)
+        acc, t1, t2 = nco.init_state(C), ref1.init_state(C), ref2.init_state(C)
+        fst = fus.init_state(C)
+        outs_ref, outs_fus = [], []
+        for b in np.split(x, 3, axis=-1):
+            b = jnp.asarray(b)
+            m, acc = nco.mix_down(b, words, acc)
+            y1, t1 = ref1(t1, m)
+            y2, t2 = ref2(t2, y1)
+            outs_ref.append(np.asarray(y2))
+            fst, yf = fus.step(fst, b, words)
+            outs_fus.append(np.asarray(yf))
+        np.testing.assert_allclose(np.concatenate(outs_fus, -1),
+                                   np.concatenate(outs_ref, -1), atol=5e-5)
+        np.testing.assert_array_equal(np.asarray(acc), np.asarray(fst["acc"]))
+
+    def test_single_stage_matches_v1(self, rng):
+        from radioframe.kernels.fused_frontend2 import FusedFrontend2
+
+        taps = FD.cic_equivalent_taps(8, 4, 1)
+        f1 = FusedFrontend(taps, 8, interpret=True)
+        f2 = FusedFrontend2(taps, 8, interpret=True)
+        C = 4
+        words = jnp.asarray(nco.freq_word(np.linspace(-10e3, 10e3, C), 192e3))
+        x = _iq(rng, C, 2 * 2048)
+        s1, s2 = f1.init_state(C), f2.init_state(C)
+        for b in np.split(x, 2, axis=-1):
+            b = jnp.asarray(b)
+            s1, a = f1.step(s1, b, words)
+            s2, bb = f2.step(s2, b, words)
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=3e-6)
+
+    def test_chain_depth2_parity(self, rng):
+        """RxChain(fuse_frontend_depth=2) == unfused chain, 3-stage plan
+        (the ADC preset shape: the third, non-pow2 stage stays unfused)."""
+        base = dict(fs_in=1_536_000.0, channels=4,
+                    stages=(CicStage(R=8, N=4),
+                            FirStage(R=4, numtaps=97, passband_hz=15_000.0),
+                            FirStage(R=2, numtaps=33, passband_hz=15_000.0)))
+        ch_ref = RxChain(RxConfig(**base))
+        ch_f2 = RxChain(RxConfig(**base, fuse_frontend=True, fuse_frontend_depth=2))
+        assert ch_f2.fused_stages == 2 and len(ch_f2.init_state(4)["decim"]) == 2
+        C = 4
+        words = jnp.asarray(nco.freq_word(np.array([5e4, -2e5, 3e5, 0.0]), 1.536e6))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        s_ref, s_f2 = ch_ref.init_state(C), ch_f2.init_state(C)
+        T = 2 * ch_ref.min_block
+        for blk in range(3):
+            x = jnp.asarray(_iq(rng, C, T))
+            s_ref, a_ref, _ = ch_ref.step(s_ref, x, words, mode)
+            s_f2, a_f2, _ = ch_f2.step(s_f2, x, words, mode)
+            if blk == 0:
+                continue  # mode-filter warm-up (see test_sharded.py)
+            np.testing.assert_allclose(np.asarray(a_f2), np.asarray(a_ref), atol=2e-4)
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    def test_sharded_depth2_matches_unsharded(self, rng, mesh_shape):
+        from radioframe.shard.rx import ShardedRxChain
+
+        C = 8
+        cfg = RxConfig(channels=C, ols_hop=512,
+                       stages=(CicStage(R=2, N=4), FirStage(R=2, numtaps=49)),
+                       fuse_frontend=True, fuse_frontend_depth=2)
+        chain = RxChain(cfg)
+        assert chain.fused_stages == 2
+        devs = jax.devices()[: mesh_shape[0] * mesh_shape[1]]
+        mesh = jax.make_mesh(mesh_shape, ("channel", "time"), devices=devs)
+        sharded = ShardedRxChain(chain, mesh)
+        T = 8 * chain.min_block
+        words = jnp.asarray(nco.freq_word(np.linspace(-80e3, 80e3, C), 192e3))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        st_r, st_s = chain.init_state(C), chain.init_state(C)
+        step_r, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        for blk in range(2):
+            x = jnp.asarray(_iq(rng, C, T))
+            st_r, a_r, _ = step_r(st_r, x, words, mode)
+            st_s, a_s, _ = step_s(st_s, x, words, mode)
+            skip = 512 if blk == 0 else 0
+            np.testing.assert_allclose(np.asarray(a_s)[:, skip:],
+                                       np.asarray(a_r)[:, skip:], atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(st_s["nco"]), np.asarray(st_r["nco"]))
+        np.testing.assert_allclose(np.asarray(st_s["decim"][0]),
+                                   np.asarray(st_r["decim"][0]), atol=1e-6)

@@ -216,3 +216,25 @@ class TestSamGoldenParity:
         np.testing.assert_allclose(np.asarray(y)[0], ref_y, atol=1e-4)
         np.testing.assert_allclose(float(np.asarray(ns)[0]), ref_ns, rtol=1e-4)
         assert bool(np.asarray(is_open)[0]) == ref_open
+
+
+def test_ols_bank_apply_selected_matches_full_bank(rng):
+    """Frequency-domain per-channel selection == full bank + take_along_axis
+    (the gather commutes with the linear IFFT): one IFFT instead of K."""
+    from radioframe.ops import filter_design as FD
+    from radioframe.ops.ols import OverlapSaveBank
+
+    bank = OverlapSaveBank(
+        [FD.complex_bandpass_taps(513, 300.0, 2700.0, 48e3),
+         FD.complex_bandpass_taps(513, -250.0, 250.0, 48e3),
+         FD.complex_bandpass_taps(513, -5000.0, 5000.0, 48e3)],
+        hop=512)
+    C, T = 6, 2048
+    x = jnp.asarray((rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T)))
+                    .astype(np.complex64))
+    row = jnp.asarray(np.arange(C) % 3, jnp.int32)
+    full, tail_a = bank(bank.init_state(C), x)
+    want = np.take_along_axis(np.asarray(full), np.asarray(row)[None, :, None], axis=0)[0]
+    got, tail_b = bank.apply_selected(bank.init_state(C), x, row)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(tail_a), np.asarray(tail_b))

@@ -82,3 +82,27 @@ class TestCli:
                                 "PYTHONPATH": "/root/repo", "HOME": "/root"})
         assert p.returncode == 0
         assert "default RX chain" in p.stdout
+
+
+def test_cli_tx_roundtrip(tmp_path):
+    """CLI tx: mono audio WAV -> IQ WAV at 4x rate; rx chain can receive it."""
+    import numpy as np
+
+    from radioframe.cli import main as cli_main
+    from radioframe.io.wav import read_wav, write_wav
+
+    fs = 48_000.0
+    t = np.arange(4 * 2048) / fs
+    audio = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    wav_in = str(tmp_path / "voice.wav")
+    wav_out = str(tmp_path / "iq.wav")
+    write_wav(wav_in, audio, fs)
+    rc = cli_main(["tx", "--wav", wav_in, "--freq", "12000", "--mode", "am",
+                   "--out", wav_out])
+    assert rc == 0
+    iq, fs_iq = read_wav(wav_out)
+    assert fs_iq == 4 * fs and np.iscomplexobj(iq)
+    # AM carrier is at +12 kHz: spectrum peak there
+    X = np.abs(np.fft.fft(iq))
+    f = np.fft.fftfreq(len(iq), 1.0 / fs_iq)
+    assert abs(f[int(np.argmax(X))] - 12_000.0) < 50.0

@@ -124,6 +124,40 @@ def overlap_overhead(C=128, iters=64):
         print(f"overlap_overhead {name}: {dt*1e3/iters:.3f} ms/block")
 
 
+def flagship(iters=64, fuse=True, C=128):
+    from radioframe.core.config import CicStage, FirStage, RxConfig
+
+    cfg = RxConfig(
+        fs_in=1_536_000.0, channels=C,
+        stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+        ols_hop=512, fuse_frontend=fuse)
+    chain = RxChain(cfg)
+    T = 8 * chain.min_block
+    rng = np.random.default_rng(0)
+    iq_ri = jnp.asarray(rng.standard_normal((2, C, T)).astype(np.float32))
+    words = jnp.asarray(nco.freq_word(np.linspace(-5e5, 5e5, C), cfg.fs_in))
+    mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+
+    def run(state, iq_ri, words, mode, n):
+        iq = jax.lax.complex(iq_ri[0], iq_ri[1])
+        def body(_, carry):
+            st, acc = carry
+            st, audio, _ = chain.step(st, iq, words, mode)
+            return st, acc + jnp.sum(jnp.abs(audio[:, -1]))
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    runj = jax.jit(run, static_argnames="n", donate_argnums=0)
+    state = jax.jit(lambda: chain.init_state(C))()
+    state, s = runj(state, iq_ri, words, mode, n=iters)
+    float(s)
+    t0 = time.perf_counter()
+    state, s = runj(state, iq_ri, words, mode, n=iters)
+    float(s)
+    dt = time.perf_counter() - t0
+    print(f"flagship fuse={fuse} iters={iters}: {C*T*iters/dt/1e9:.2f} Gsps "
+          f"({dt*1e3/iters:.3f} ms/block)")
+
+
 if __name__ == "__main__":
     import sys
 
@@ -136,3 +170,7 @@ if __name__ == "__main__":
             channelizer(mult, iters=8)
     if which in ("overlap", "all"):
         overlap_overhead()
+    if which == "flagship":
+        flagship(64)
+        flagship(256)
+        flagship(64, fuse=False)
