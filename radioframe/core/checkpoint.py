@@ -17,9 +17,41 @@ import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
+# State-schema version, bumped when the ChainState pytree layout changes —
+# the TPU-era analog of the reference's versioned settings struct whose
+# loader migrates older EEPROM layouts (`[U:settings.c]`). v1 = round-1
+# layout (scalar AGC envelope, no deemph/eq keys); v2 = round-2 (AgcBank
+# {hist, env, lpf} dict, deemph/eq feature keys).
+CURRENT_VERSION = 2
+
+
+def _migrate_v1_to_v2(state):
+    """Round-1 -> round-2 layout for default-config chains.
+
+    - RX 'agc' scalar envelope -> AgcBank {hist: (), env, lpf: 0} (lpf is
+      inert at the v1-default instant attack, so zeros resume bit-exactly)
+    - RX gains 'deemph': (), TX gains 'eq': () (features default-disabled).
+    """
+    def walk(d):
+        if not isinstance(d, dict):
+            return d
+        d = {k: walk(v) for k, v in d.items()}
+        if "agc" in d and not isinstance(d["agc"], dict):
+            env = np.asarray(d["agc"])
+            d["agc"] = {"hist": (), "env": env, "lpf": np.zeros_like(env)}
+            d.setdefault("deemph", ())
+        if "comp" in d and "ssb" in d:  # a TxChain state
+            d.setdefault("eq", ())
+        return d
+
+    return walk(state)
+
+
+MIGRATIONS = {1: _migrate_v1_to_v2}
+
 
 class StreamCheckpointer:
-    """Epoch-numbered state snapshots under a directory."""
+    """Epoch-numbered state snapshots under a directory, schema-versioned."""
 
     def __init__(self, directory: str):
         self.directory = os.path.abspath(directory)
@@ -29,9 +61,10 @@ class StreamCheckpointer:
     def _path(self, epoch: int) -> str:
         return os.path.join(self.directory, f"epoch_{epoch:012d}")
 
-    def save(self, epoch: int, state) -> str:
+    def save(self, epoch: int, state, version: int = CURRENT_VERSION) -> str:
         path = self._path(epoch)
-        self._ckptr.save(path, state, force=True)
+        payload = {"version": np.int32(version), "state": state}
+        self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         return path
 
@@ -48,7 +81,33 @@ class StreamCheckpointer:
         eps = self.epochs()
         return eps[-1] if eps else None
 
-    def restore(self, epoch: int, like):
-        """Restore epoch's state with the dtypes/shapes/shardings of ``like``."""
+    def restore(self, epoch: int, like, migrations=None):
+        """Restore epoch's state with the dtypes/shapes/shardings of ``like``.
+
+        Older-schema checkpoints (including unversioned round-1 snapshots)
+        are migrated forward through ``MIGRATIONS`` before matching against
+        ``like`` — settings.c-style version migration.
+        """
+        path = self._path(epoch)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
-        return self._ckptr.restore(self._path(epoch), abstract)
+        vers_abs = jax.ShapeDtypeStruct((), np.int32)
+        try:
+            payload = self._ckptr.restore(path, {"version": vers_abs, "state": abstract})
+            return payload["state"]
+        except (ValueError, KeyError, TypeError):
+            pass  # layout mismatch: older schema — raw-restore and migrate
+        raw = self._ckptr.restore(path)
+        if isinstance(raw, dict) and set(raw) == {"version", "state"}:
+            v, st = int(raw["version"]), raw["state"]
+        else:
+            v, st = 1, raw  # unversioned round-1 checkpoint
+        migrations = MIGRATIONS if migrations is None else migrations
+        while v < CURRENT_VERSION:
+            if v not in migrations:
+                raise ValueError(f"no migration from state-schema v{v}")
+            st = migrations[v](st)
+            v += 1
+        # a template-free orbax restore returns lists for tuples — rebuild
+        # with `like`'s structure (tuple-vs-list is not a schema difference)
+        st = jax.tree.unflatten(jax.tree.structure(like), jax.tree.leaves(st))
+        return jax.tree.map(lambda ref, x: np.asarray(x, dtype=ref.dtype), like, st)

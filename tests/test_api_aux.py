@@ -121,3 +121,94 @@ def test_capabilities_flags_provisional_digital_modes():
     assert "ssb" in caps["modes"] and caps["ft8"] and caps["wspr"]
     assert caps["ft8_interop"].startswith("PROVISIONAL")
     assert caps["wspr_interop"].startswith("PROVISIONAL")
+
+
+import jax.numpy as jnp  # noqa: E402
+
+
+class TestCheckpointMigration:
+    """settings.c-style schema versioning: older state layouts migrate
+    forward on restore (core/checkpoint.py MIGRATIONS)."""
+
+    def _chain(self):
+
+        from radioframe.core.config import RxConfig
+        from radioframe.ops import demod as demod_op
+        from radioframe.ops import nco
+        from radioframe.pipelines.rx_chain import RxChain
+
+        chain = RxChain(RxConfig(channels=2, ols_hop=512))
+        words = jnp.asarray(nco.freq_word(np.array([10e3, -20e3]), 192e3))
+        mode = jnp.asarray([demod_op.SSB, demod_op.NFM], jnp.int32)
+        return chain, words, mode
+
+    def _forge_v1(self, state):
+        """Round-1 layout: scalar AGC envelope, no deemph key."""
+        old = dict(state)
+        old["agc"] = np.asarray(state["agc"]["env"])
+        old.pop("deemph")
+        return old
+
+    def test_versioned_v1_state_migrates(self, tmp_path, rng):
+        import jax
+
+        from radioframe.core.checkpoint import StreamCheckpointer
+
+        chain, words, mode = self._chain()
+        st = chain.init_state(2)
+        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
+                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
+        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+
+        ck = StreamCheckpointer(str(tmp_path / "ck"))
+        ck.save(0, self._forge_v1(st), version=1)
+        restored = ck.restore(0, chain.init_state(2))
+        # structure matches the current schema; migrated leaves preserved
+        np.testing.assert_array_equal(np.asarray(restored["agc"]["env"]),
+                                      np.asarray(st["agc"]["env"]))
+        np.testing.assert_array_equal(np.asarray(restored["nco"]),
+                                      np.asarray(st["nco"]))
+        assert restored["deemph"] == () and restored["agc"]["hist"] == ()
+        # the stream continues: migrated state == native state, bit-exact
+        # (lpf is inert at instant attack)
+        st2a, a, _ = jax.jit(chain.step)(st, iq, words, mode)
+        st2b, b, _ = jax.jit(chain.step)(
+            jax.tree.map(jnp.asarray, restored), iq, words, mode)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_unversioned_round1_checkpoint_migrates(self, tmp_path, rng):
+        """Raw (pre-versioning) on-disk snapshots restore via the v1 path."""
+        import jax
+        import orbax.checkpoint as ocp
+
+        from radioframe.core.checkpoint import StreamCheckpointer
+
+        chain, words, mode = self._chain()
+        st = chain.init_state(2)
+        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
+                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
+        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+        ck = StreamCheckpointer(str(tmp_path / "ck"))
+        # simulate a round-1 file: raw state, no version wrapper
+        raw_ckptr = ocp.StandardCheckpointer()
+        raw_ckptr.save(ck._path(3), self._forge_v1(st), force=True)
+        raw_ckptr.wait_until_finished()
+        restored = ck.restore(3, chain.init_state(2))
+        np.testing.assert_array_equal(np.asarray(restored["agc"]["env"]),
+                                      np.asarray(st["agc"]["env"]))
+
+    def test_current_version_roundtrip_unchanged(self, tmp_path, rng):
+        import jax
+
+        from radioframe.core.checkpoint import StreamCheckpointer
+
+        chain, words, mode = self._chain()
+        st = chain.init_state(2)
+        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
+                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
+        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+        ck = StreamCheckpointer(str(tmp_path / "ck"))
+        ck.save(7, st)
+        restored = ck.restore(7, chain.init_state(2))
+        for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
