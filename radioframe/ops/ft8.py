@@ -194,13 +194,24 @@ def tone_basis(fs: float = FS, f0: float = 1000.0, sps: int = SPS) -> np.ndarray
 
 
 def symbol_energies(audio, basis, start: int = 0, sps: int = SPS):
-    """(..., T) real audio -> (..., 79, 8) tone energies. jnp; MXU matmul."""
-    audio = jnp.asarray(audio, jnp.float32)
-    seg = audio[..., start:start + N_SYM * sps]
+    """(..., T) audio -> (..., 79, 8) tone energies. jnp; MXU matmul.
+
+    Accepts real audio (a receiver's demodulated channel) or complex
+    analytic baseband (a channelizer output, e.g. the FT8 skimmer path) —
+    the complex projection keeps the full +3 dB of the analytic signal."""
+    audio = jnp.asarray(audio)
+    seg = audio[..., start : start + N_SYM * sps]
     frames = seg.reshape(seg.shape[:-1] + (N_SYM, sps))
     br, bi = jnp.real(jnp.asarray(basis)), jnp.imag(jnp.asarray(basis))
-    cr = frames @ br
-    ci = frames @ bi
+    if jnp.issubdtype(audio.dtype, jnp.complexfloating):
+        fr = jnp.real(frames).astype(jnp.float32)
+        fi = jnp.imag(frames).astype(jnp.float32)
+        cr = fr @ br - fi @ bi
+        ci = fr @ bi + fi @ br
+    else:
+        frames = frames.astype(jnp.float32)
+        cr = frames @ br
+        ci = frames @ bi
     return cr * cr + ci * ci
 
 

@@ -43,6 +43,53 @@ class Spectrum:
         return db, (db[:, -1, :] if F else prev)
 
 
+class ZoomSpectrum:
+    """Zoomed panorama: Z-x frequency resolution around a tunable center.
+
+    Reference analog: the LCD panorama zoom (x2..x16) in `[U:fft.c]` —
+    implemented there by decimating the FFT input. Same design here:
+    mix the IQ tap down by ``center_word`` (int32 DDS, runtime input — no
+    recompile on pan), decimate by Z with a boxcar^2 anti-alias FIR, then
+    the ordinary nfft panorama over the Z-x-narrower span. Resolution is
+    fs/(Z*nfft) per bin over a span of fs/Z centered at the zoom center.
+
+    State = {"nco" (C,) int32 DDS accumulator, "fir" decimator tail,
+    "spec" EMA line} — explicit, streaming like everything else.
+    """
+
+    def __init__(self, nfft: int = 1024, zoom: int = 4, avg: float = 0.0):
+        from radioframe.ops.fir import cic_decimator
+
+        assert zoom >= 1
+        self.zoom = int(zoom)
+        self.nfft = int(nfft)
+        self.spec = Spectrum(nfft, avg)
+        self.decim = cic_decimator(self.zoom, N=2) if self.zoom > 1 else None
+
+    def init_state(self, num_channels: int):
+        from radioframe.ops import nco
+
+        return {
+            "nco": nco.init_state(num_channels),
+            "fir": (self.decim.init_state(num_channels)
+                    if self.decim is not None else ()),
+            "spec": self.spec.init_state(num_channels),
+        }
+
+    def __call__(self, state, x, center_word):
+        """(state, x (C, T), center_word (C,) i32) -> (lines (C,F,nfft), state').
+
+        T must be a multiple of zoom*nfft."""
+        from radioframe.ops import nco
+
+        y, acc = nco.mix_down(x, center_word, state["nco"])
+        fir_tail = state["fir"]
+        if self.decim is not None:
+            y, fir_tail = self.decim(state["fir"], y)
+        lines, spec_prev = self.spec(state["spec"], y)
+        return lines, {"nco": acc, "fir": fir_tail, "spec": spec_prev}
+
+
 def snap_to_peak(spectrum_db, fs: float, search_hz: float, nfft: int):
     """Auto frequency snap (reference `[U:snap.c]`, SURVEY.md §2.2 #25):
     argmax of the averaged spectrum within ±search_hz of center -> Hz offset."""

@@ -238,3 +238,51 @@ def test_ols_bank_apply_selected_matches_full_bank(rng):
     got, tail_b = bank.apply_selected(bank.init_state(C), x, row)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(tail_a), np.asarray(tail_b))
+
+
+class TestZoomSpectrum:
+    def test_zoom_resolves_close_tones(self, rng):
+        """Two tones 100 Hz apart at 192 kHz: unresolvable in a 1024-bin
+        panorama (188 Hz/bin), cleanly split at zoom x16 (11.7 Hz/bin)."""
+        from radioframe.ops import nco
+        from radioframe.ops.spectrum import Spectrum, ZoomSpectrum
+
+        fs, Z, nfft = 192_000.0, 16, 1024
+        f0 = 12_000.0
+        T = 4 * Z * nfft
+        t = np.arange(T) / fs
+        x = (np.exp(2j * np.pi * (f0 - 50.0) * t) +
+             np.exp(2j * np.pi * (f0 + 50.0) * t)).astype(np.complex64)[None, :]
+        zoom = ZoomSpectrum(nfft, Z)
+        word = jnp.asarray([nco.freq_word(f0, fs)], jnp.int32)
+        lines, _ = jax.jit(zoom)(zoom.init_state(1), jnp.asarray(x), word)
+        line = np.asarray(lines)[0, -1]
+        # find the two peaks: they sit ±50 Hz from center at 11.7 Hz/bin
+        res = fs / Z / nfft
+        k = np.argsort(line)[::-1]
+        # take the top two local maxima separated by > 4 bins
+        top = [int(k[0])]
+        for kk in k[1:]:
+            if abs(int(kk) - top[0]) > 4:
+                top.append(int(kk))
+                break
+        got_hz = sorted(((np.array(top) - nfft // 2) * res).tolist())
+        np.testing.assert_allclose(got_hz, [-50.0, 50.0], atol=1.5 * res)
+
+    def test_streaming_state(self, rng):
+        """Split blocks == one shot (NCO + decimator + EMA state carry)."""
+        from radioframe.ops import nco
+        from radioframe.ops.spectrum import ZoomSpectrum
+
+        zoom = ZoomSpectrum(256, 4, avg=0.5)
+        x = (rng.standard_normal((2, 8 * 1024)) +
+             1j * rng.standard_normal((2, 8 * 1024))).astype(np.complex64)
+        word = jnp.asarray(nco.freq_word(np.array([1e3, -2e3]), 192e3))
+        whole, _ = zoom(zoom.init_state(2), jnp.asarray(x), word)
+        st = zoom.init_state(2)
+        outs = []
+        for blk in np.split(x, 2, axis=-1):
+            lines, st = zoom(st, jnp.asarray(blk), word)
+            outs.append(np.asarray(lines))
+        got = np.concatenate(outs, axis=1)
+        np.testing.assert_allclose(got, np.asarray(whole), atol=1e-3)
