@@ -46,14 +46,12 @@ def run_shift(wb_ri, n):
         return st, acc + jnp.sum(jnp.abs(y[0, :, -1]))
     return lax.fori_loop(0, n, body, (op.init_state(1), jnp.float32(0.0)))
 
-for name, fn in (("grouped_conv", run_conv), ("shifted_add", run_shift)):
+import sys
+for name, fn in (("shifted_add", run_shift), ("grouped_conv", run_conv)):
     f = jax.jit(fn, static_argnames="n")
     s = f(wb_ri, n=8); float(s[1])
     t0 = time.perf_counter(); s = f(wb_ri, n=8); float(s[1])
     dt = time.perf_counter() - t0
-    print(f"{name}: {dt*1e3/8:.2f} ms/block ({T*8/dt/1e6:.0f} Msps)")
-# parity
-x = lax.complex(wb_ri[0], wb_ri[1])[None, : 16 * M * K]
-a, _ = op(op.init_state(1), x)
-b, _ = shifted_pfb(op.init_state(1), x)
-print("parity max err:", float(jnp.max(jnp.abs(a - jnp.moveaxis(b, 1, 2)))))
+    print(f"{name}: {dt*1e3/8:.2f} ms/block ({T*8/dt/1e6:.0f} Msps)", flush=True)
+# (parity is proven on CPU in tests; axon op-by-op complex dispatch is
+# unimplemented, so no eager parity check here)
