@@ -69,8 +69,8 @@ def ring_halo_dma(x_local, H: int, axis_name: str = "time", interpret: bool = Fa
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((C, Hf), xf.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(has_side_effects=True, collective_id=7),
         interpret=interpret,

@@ -158,25 +158,53 @@ class RxChain:
 
     # -- the block program ---------------------------------------------------
 
-    def step(self, state, iq, freq_words, mode):
-        """(state, iq (C,T) c64, freq_words (C,) i32, mode (C,) i32)
-        -> (state, audio (C, T/decim) f32, aux dict)."""
-        cfg = self.cfg
+    # Stage split for the pipelined executor (radioframe/shard/pipeline.py):
+    # ``step_front`` is the full-rate half (NCO mix + decimation — the
+    # reference's FPGA datapath, SURVEY.md §2.1 #1-#4) and ``step_back`` the
+    # audio-rate half (channel filter .. AGC/squelch/spectrum — the MCU block
+    # loop, §2.1 #6-#13). ``step`` composes them; outputs are identical.
+
+    FRONT_KEYS = ("nco", "decim")
+
+    def split_state(self, state):
+        """Full state dict -> (front_state, back_state)."""
+        f = {k: state[k] for k in self.FRONT_KEYS}
+        b = {k: v for k, v in state.items() if k not in self.FRONT_KEYS}
+        return f, b
+
+    def step_front(self, fstate, iq, freq_words):
+        """Full-rate stage: (fstate, iq (C,T) c64, words (C,) i32)
+        -> (fstate, x (C, T/decim) c64, power_in (C,) f32)."""
         assert iq.shape[-1] % self.min_block == 0, (
             f"block length {iq.shape[-1]} must be a multiple of {self.min_block}")
         if self.fused is not None:
-            fst = {"acc": state["nco"], "tail": state["decim"][0]}
+            fst = {"acc": fstate["nco"], "tail": fstate["decim"][0]}
             fst, x = self.fused.step(fst, iq, freq_words)
             nco_acc = fst["acc"]
             tails = [fst["tail"]]
-            rest = zip(self.decimators[self.fused_stages :], state["decim"][1:])
+            rest = zip(self.decimators[self.fused_stages :], fstate["decim"][1:])
         else:
-            x, nco_acc = nco.mix_down(iq, freq_words, state["nco"])
+            x, nco_acc = nco.mix_down(iq, freq_words, fstate["nco"])
             tails = []
-            rest = zip(self.decimators, state["decim"])
+            rest = zip(self.decimators, fstate["decim"])
         for d, tail in rest:
             x, t = d(tail, x)
             tails.append(t)
+        pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+        return {"nco": nco_acc, "decim": tuple(tails)}, x, pw
+
+    def step(self, state, iq, freq_words, mode):
+        """(state, iq (C,T) c64, freq_words (C,) i32, mode (C,) i32)
+        -> (state, audio (C, T/decim) f32, aux dict)."""
+        fstate, bstate = self.split_state(state)
+        fstate, x, pw = self.step_front(fstate, iq, freq_words)
+        bstate, audio, aux = self.step_back(bstate, x, mode, pw)
+        return {**fstate, **bstate}, audio, aux
+
+    def step_back(self, state, x, mode, power_in):
+        """Audio-rate stage: (bstate, x (C, T/decim) c64, mode (C,) i32,
+        power_in (C,) f32) -> (bstate, audio, aux)."""
+        cfg = self.cfg
         nb_state = state.get("nb", ())
         if self.nb:
             x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter
@@ -209,18 +237,15 @@ class RxChain:
             gated, sq_state, sq_open = demod_op.squelch(
                 state["squelch"], audio, cfg.squelch_threshold)
             audio = jnp.where((mode == demod_op.NFM)[:, None], gated, audio)
-        # iq may be (1, T) broadcast across C channels; report per channel
-        pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+        # power_in may come from a (1, T) iq broadcast; report per channel
         aux = {"agc_gain_last": agc_gain[:, -1],
-               "power_in": jnp.broadcast_to(pw, mode.shape).astype(jnp.float32)}
+               "power_in": jnp.broadcast_to(power_in, mode.shape).astype(jnp.float32)}
         if cfg.emit_spectrum:
             lines, spec_prev = self.spectrum(state["spec"], x)
             aux["spectrum"] = lines
         else:
             spec_prev = state["spec"]
         new_state = {
-            "nco": nco_acc,
-            "decim": tuple(tails),
             "bpf": bpf_tail,
             "demod": demod_state,
             "agc": agc_env,
