@@ -96,6 +96,11 @@ class RxConfig:
     # it is real-tapped with a power-of-two R — the stage-1 output then
     # never round-trips HBM at fs/R1
     fuse_frontend_depth: int = 1
+    # int16 ADC ingest: the fused v2 kernel reads raw int16 count planes
+    # (the reference ADC's native format, [U:fpga.c] IQ words) and upcasts
+    # in VMEM — halves the dominant HBM read traffic. Requires
+    # fuse_frontend_depth=2; drive the chain via step_i16/step_front_i16.
+    int16_ingest: bool = False
     # transport for the fused front end's full-rate raw-IQ halo under time
     # sharding: "ppermute" (XLA-scheduled) or "rdma" (explicit Pallas
     # make_async_remote_copy, overlapped with the interior compute via the

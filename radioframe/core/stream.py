@@ -73,13 +73,20 @@ class CaptureSource:
 
     def __init__(self, producer, block_len: int, channels: int = 1,
                  capacity_blocks: int = 8, scale: float = 1.0 / 32767.0,
-                 overrun_wait_s: float = 0.005, overrun_retries: int = 20):
+                 overrun_wait_s: float = 0.005, overrun_retries: int = 20,
+                 raw_i16: bool = False):
         from radioframe.native import RingBuffer
 
         self.block_len = int(block_len)
         self.channels = int(channels)
         self._scale = scale
-        self._block_bytes = self.channels * self.block_len * 8  # complex64
+        # raw_i16: int16-ingest fast path (RxConfig.int16_ingest) — the ring
+        # carries deinterleaved int16 planes (half the bytes of complex64)
+        # and the iterator yields (xr, xi) int16 plane blocks for step_i16;
+        # the host never touches f32 (the kernel upcasts in VMEM).
+        self.raw_i16 = bool(raw_i16)
+        sample_bytes = 4 if raw_i16 else 8
+        self._block_bytes = self.channels * self.block_len * sample_bytes
         self.ring = RingBuffer(capacity_blocks * self._block_bytes)
         self._producer = producer
         self.overruns = 0
@@ -93,12 +100,20 @@ class CaptureSource:
     def _capture_loop(self):
         import time
 
+        import numpy as np
+
         from radioframe.native import iq_i16_to_c64
 
         for pcm in self._producer:
-            iq = iq_i16_to_c64(pcm, self._scale)
+            if self.raw_i16:
+                # ring carries the raw interleaved int16 words — zero
+                # producer-side work (pure bus-to-ring, the ISR's job);
+                # the consumer deinterleaves per popped block
+                payload = np.ascontiguousarray(pcm, dtype=np.int16)
+            else:
+                payload = iq_i16_to_c64(pcm, self._scale)
             for attempt in range(self._retries):
-                if self.ring.write(iq):
+                if self.ring.write(payload):
                     break
                 time.sleep(self._wait)  # consumer catching up
             else:
@@ -119,11 +134,23 @@ class CaptureSource:
 
         if self._thread is None:
             self.start()
+        import numpy as np
+
+        from radioframe.native import iq_i16_deinterleave
+
         while True:
-            blk = self.ring.read(self._block_bytes)
-            if blk is not None:
-                yield blk.reshape(self.channels, self.block_len)
-                continue
+            if self.raw_i16:
+                blk = self.ring.read(self._block_bytes, dtype=np.int16)
+                if blk is not None:
+                    xr, xi = iq_i16_deinterleave(blk)
+                    yield (xr.reshape(self.channels, self.block_len),
+                           xi.reshape(self.channels, self.block_len))
+                    continue
+            else:
+                blk = self.ring.read(self._block_bytes)
+                if blk is not None:
+                    yield blk.reshape(self.channels, self.block_len)
+                    continue
             if self._done and self.ring.fill < self._block_bytes:
                 return  # drained (partial tail < one block is discarded)
             time.sleep(0.0005)  # underrun: wait for the capture thread

@@ -48,11 +48,19 @@ from radioframe.kernels.fused_frontend import _SCALE, _pick_tile
 
 def _kernel(TM, J0, R, J2, R2,
             xr_ref, xi_ref, tl_ref, y1t_ref, word_ref, acc_ref, w1_ref, w2_ref,
-            out_ref, hr_ref, hi_ref, h2r_ref, h2i_ref):
+            out_ref, pow_ref, hr_ref, hi_ref, h2r_ref, h2i_ref):
     i = pl.program_id(0)
     Cp = xr_ref.shape[0]
-    x3r = jnp.transpose(xr_ref[...]).reshape(TM, R, Cp)
-    x3i = jnp.transpose(xi_ref[...]).reshape(TM, R, Cp)
+    # int16 ADC ingest: raw counts are upcast to f32 on load (the input
+    # scale is folded into the stage-1 taps), halving the kernel's HBM
+    # traffic — the stream crosses HBM once, as 2-byte words
+    xr_f = xr_ref[...].astype(jnp.float32)
+    xi_f = xi_ref[...].astype(jnp.float32)
+    x3r = jnp.transpose(xr_f).reshape(TM, R, Cp)
+    x3i = jnp.transpose(xi_f).reshape(TM, R, Cp)
+    # input power partial (per tile, per channel) — data is already in
+    # VMEM, so the chain's power_in metric costs no extra HBM pass
+    pow_ref[0] = jnp.sum(xr_f * xr_f + xi_f * xi_f, axis=-1)[None, :]
 
     # factorized DDS oscillator for the BODY frames g = i*TM + f
     word = word_ref[...]  # (1, Cp) int32
@@ -142,8 +150,12 @@ class FusedFrontend2:
 
     MAX_GRID = 128
 
-    def __init__(self, taps, R: int, taps2=None, R2: int = 1, interpret: bool = False):
-        h1 = np.asarray(taps, np.float64)
+    def __init__(self, taps, R: int, taps2=None, R2: int = 1, interpret: bool = False,
+                 input_scale: float = 1.0):
+        # input_scale is folded into the stage-1 taps (the chain is linear),
+        # so int16 ADC counts (scale 2**-15) cost nothing at runtime
+        self.input_scale = float(input_scale)
+        h1 = np.asarray(taps, np.float64) * self.input_scale
         assert not np.iscomplexobj(h1)
         self.R = int(R)
         self.L = len(h1)
@@ -190,12 +202,26 @@ class FusedFrontend2:
         cols = [mixed[:, j * self.R : j * self.R + W1] @ wp for j in range(self.H2)]
         return jnp.stack(cols, axis=-1)  # (C, H2) complex
 
-    def step(self, state, iq, words):
-        """(state, iq (C, T) c64, words (C,) i32) -> (state, y (C, T//decim))."""
-        R, R2, J0, J2 = self.R, self.R2, self.J0, self.J2
+    def step(self, state, iq, words, return_power: bool = False):
+        """(state, iq (C, T) c64, words (C,) i32) -> (state, y (C, T//decim))
+        [+ per-channel input power sum when ``return_power``]."""
         if iq.shape[0] == 1 and words.shape[0] > 1:
             iq = jnp.broadcast_to(iq, (words.shape[0], iq.shape[1]))
-        C, T = iq.shape
+        return self.step_planes(state, jnp.real(iq), jnp.imag(iq), words,
+                                return_power=return_power)
+
+    def step_planes(self, state, xr, xi, words, return_power: bool = False):
+        """Plane-input form: xr/xi (C, T) float32, or int16 ADC counts when
+        the frontend was built with ``input_scale=2**-15`` — the int16 path
+        halves the kernel's HBM read traffic (the dominant cost; the stream
+        crosses HBM once). Returns (state, y) or (state, y, power_sum) with
+        power_sum (C,) = sum |x|^2 in RAW input units (caller applies
+        input_scale**2)."""
+        R, R2, J0, J2 = self.R, self.R2, self.J0, self.J2
+        if xr.shape[0] == 1 and words.shape[0] > 1:
+            xr = jnp.broadcast_to(xr, (words.shape[0], xr.shape[1]))
+            xi = jnp.broadcast_to(xi, (words.shape[0], xi.shape[1]))
+        C, T = xr.shape
         assert T % (R * R2) == 0 and T >= self.H_carry
         M = T // R
         TM = _pick_tile(M, J0, R)
@@ -205,17 +231,21 @@ class FusedFrontend2:
         grid_m = M // TM
         if grid_m > self.MAX_GRID:
             chunk_T = self.MAX_GRID * TM * R
-            ys = []
+            ys, pws = [], []
             for t0 in range(0, T, chunk_T):
-                state, y = self.step(state, iq[:, t0 : t0 + chunk_T], words)
+                state, y, pw = self.step_planes(
+                    state, xr[:, t0 : t0 + chunk_T], xi[:, t0 : t0 + chunk_T],
+                    words, return_power=True)
                 ys.append(y)
-            return state, jnp.concatenate(ys, axis=-1)
+                pws.append(pw)
+            y = jnp.concatenate(ys, axis=-1)
+            if return_power:
+                return state, y, sum(pws)
+            return state, y
         W = TM * R
         TM2 = TM // R2
 
         Cp = -(-C // 128) * 128
-        xr = jnp.real(iq).astype(jnp.float32)
-        xi = jnp.imag(iq).astype(jnp.float32)
         if Cp != C:
             xr = jnp.pad(xr, ((0, Cp - C), (0, 0)))
             xi = jnp.pad(xi, ((0, Cp - C), (0, 0)))
@@ -251,8 +281,10 @@ class FusedFrontend2:
                 pl.BlockSpec((self.w2.shape[0], self.w2.shape[1], 1),
                              lambda i: (0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 2, TM2, Cp), lambda i: (i, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((grid_m, 2, TM2, Cp), jnp.float32),
+            out_specs=[pl.BlockSpec((1, 2, TM2, Cp), lambda i: (i, 0, 0, 0)),
+                       pl.BlockSpec((1, 1, Cp), lambda i: (i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((grid_m, 2, TM2, Cp), jnp.float32),
+                       jax.ShapeDtypeStruct((grid_m, 1, Cp), jnp.float32)],
             scratch_shapes=[
                 pltpu.VMEM((J0, R, Cp), jnp.float32),
                 pltpu.VMEM((J0, R, Cp), jnp.float32),
@@ -265,14 +297,20 @@ class FusedFrontend2:
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * M * Cp * (J0 + 1) * R
                 + 2 * 2 * M2 * Cp * (J2 + 1) * R2 + 10 * T * Cp,
-                bytes_accessed=2 * T * Cp * 4 + 2 * M2 * Cp * 4,
+                bytes_accessed=2 * T * Cp * xr.dtype.itemsize + 2 * M2 * Cp * 4,
                 transcendentals=2 * (M + J0 + R) * Cp,
             ),
         )(xr, xi, tail, y1t, word2, acc2, w1in, w2in)
+        out, powp = out
         y2 = out.transpose(1, 0, 2, 3).reshape(2, M2, Cp)
         y = jax.lax.complex(y2[0, :, :C].T, y2[1, :, :C].T)  # (C, M2)
+        new_tail = jax.lax.complex(
+            xr[:C, T - self.H_carry :].astype(jnp.float32),
+            xi[:C, T - self.H_carry :].astype(jnp.float32))
         new_state = {
             "acc": state["acc"] + words.astype(jnp.int32) * jnp.int32(T),
-            "tail": iq[:, T - self.H_carry :],
+            "tail": new_tail,
         }
+        if return_power:
+            return new_state, y, jnp.sum(powp[:, 0, :C], axis=0)
         return new_state, y

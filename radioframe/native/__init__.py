@@ -46,6 +46,8 @@ def _load():
         return None
     lib.iq_i16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_float]
     lib.iq_f32_to_i16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_float]
+    lib.iq_i16_deinterleave.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                        ctypes.c_void_p, ctypes.c_int64]
     lib.rb_create.restype = ctypes.c_void_p
     lib.rb_create.argtypes = [ctypes.c_uint64]
     lib.rb_destroy.argtypes = [ctypes.c_void_p]
@@ -89,6 +91,24 @@ def c64_to_iq_i16(iq: np.ndarray, scale: float = 32767.0) -> np.ndarray:
         np.clip(flat * scale, -32768, 32767, out := np.empty(flat.size, np.float32))
         out = out.astype(np.int16)
     return out
+
+
+def iq_i16_deinterleave(pcm: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Interleaved int16 I/Q -> (xr, xi) int16 planes — the int16-ingest
+    fast path (cfg.int16_ingest): the device kernel upcasts in VMEM, so the
+    host never converts to f32 and moves half the bytes."""
+    pcm = np.ascontiguousarray(pcm, dtype=np.int16)
+    assert pcm.size % 2 == 0
+    n = pcm.size // 2
+    xr = np.empty(n, dtype=np.int16)
+    xi = np.empty(n, dtype=np.int16)
+    lib = _load()
+    if lib is not None:
+        lib.iq_i16_deinterleave(pcm.ctypes.data, xr.ctypes.data, xi.ctypes.data, n)
+    else:
+        xr[:] = pcm[0::2]
+        xi[:] = pcm[1::2]
+    return xr, xi
 
 
 class RingBuffer:

@@ -35,6 +35,17 @@ void iq_f32_to_i16(const float *in, int16_t *out, int64_t n, float scale) {
     }
 }
 
+/* interleaved int16 IQ -> two int16 planes (the int16-ingest fast path:
+ * the device kernel upcasts in VMEM, so the host never touches f32 and the
+ * ring carries half the bytes of the complex64 route) */
+void iq_i16_deinterleave(const int16_t *in, int16_t *xr, int16_t *xi,
+                         int64_t n_pairs) {
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        xr[i] = in[2 * i];
+        xi[i] = in[2 * i + 1];
+    }
+}
+
 /* ---- lock-free SPSC byte ring buffer -------------------------------- */
 
 typedef struct {

@@ -77,14 +77,22 @@ class RxChain:
 
                 self.fused = FusedFrontend2(
                     self._stage_taps[0], self.decimators[0].R,
-                    self._stage_taps[1], R2, interpret=interp)
+                    self._stage_taps[1], R2, interpret=interp,
+                    input_scale=(2.0 ** -15 if cfg.int16_ingest else 1.0))
                 self.fused_stages = 2
             else:
+                if cfg.int16_ingest:
+                    raise ValueError("int16_ingest requires the depth-2 fused "
+                                     "front end (fuse_frontend_depth=2 with a "
+                                     "real-tap pow2-R second stage)")
                 from radioframe.kernels.fused_frontend import FusedFrontend
 
                 self.fused = FusedFrontend(
                     self._stage_taps[0], self.decimators[0].R, interpret=interp)
                 self.fused_stages = 1
+        if cfg.int16_ingest and self.fused_stages != 2:
+            raise ValueError("int16_ingest requires fuse_frontend=True with "
+                             "fuse_frontend_depth=2")
         mf = cfg.mode_filters
         fa = cfg.fs_audio
         self.mode_bank = OverlapSaveBank(
@@ -177,9 +185,17 @@ class RxChain:
         -> (fstate, x (C, T/decim) c64, power_in (C,) f32)."""
         assert iq.shape[-1] % self.min_block == 0, (
             f"block length {iq.shape[-1]} must be a multiple of {self.min_block}")
+        pw = None
         if self.fused is not None:
             fst = {"acc": fstate["nco"], "tail": fstate["decim"][0]}
-            fst, x = self.fused.step(fst, iq, freq_words)
+            if self.fused_stages == 2:
+                # v2 kernel reduces input power in VMEM — the power_in
+                # metric costs no extra full-rate HBM pass
+                fst, x, pwsum = self.fused.step(fst, iq, freq_words,
+                                                return_power=True)
+                pw = pwsum * jnp.float32(self.fused.input_scale ** 2 / iq.shape[-1])
+            else:
+                fst, x = self.fused.step(fst, iq, freq_words)
             nco_acc = fst["acc"]
             tails = [fst["tail"]]
             rest = zip(self.decimators[self.fused_stages :], fstate["decim"][1:])
@@ -190,8 +206,34 @@ class RxChain:
         for d, tail in rest:
             x, t = d(tail, x)
             tails.append(t)
-        pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
+        if pw is None:
+            pw = jnp.mean(jnp.abs(iq) ** 2, axis=-1)
         return {"nco": nco_acc, "decim": tuple(tails)}, x, pw
+
+    def step_front_i16(self, fstate, xr, xi, freq_words):
+        """int16 ADC ingest (cfg.int16_ingest): xr/xi are (C, T) int16 count
+        planes — the reference's native IQ word format (`[U:fpga.c]`). The
+        fused v2 kernel upcasts in VMEM, so the full-rate stream crosses HBM
+        as 2-byte words (half the f32 path's read traffic); the 2**-15 scale
+        is folded into the stage-1 taps."""
+        assert self.cfg.int16_ingest, "chain not built with int16_ingest"
+        assert xr.shape[-1] % self.min_block == 0
+        fst = {"acc": fstate["nco"], "tail": fstate["decim"][0]}
+        fst, x, pwsum = self.fused.step_planes(fst, xr, xi, freq_words,
+                                               return_power=True)
+        tails = [fst["tail"]]
+        for d, tail in zip(self.decimators[self.fused_stages :], fstate["decim"][1:]):
+            x, t = d(tail, x)
+            tails.append(t)
+        pw = pwsum * jnp.float32(self.fused.input_scale ** 2 / xr.shape[-1])
+        return {"nco": fst["acc"], "decim": tuple(tails)}, x, pw
+
+    def step_i16(self, state, xr, xi, freq_words, mode):
+        """Full RX block step from int16 count planes (see step_front_i16)."""
+        fstate, bstate = self.split_state(state)
+        fstate, x, pw = self.step_front_i16(fstate, xr, xi, freq_words)
+        bstate, audio, aux = self.step_back(bstate, x, mode, pw)
+        return {**fstate, **bstate}, audio, aux
 
     def step(self, state, iq, freq_words, mode):
         """(state, iq (C,T) c64, freq_words (C,) i32, mode (C,) i32)

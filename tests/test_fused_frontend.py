@@ -263,3 +263,76 @@ class TestFusedFrontend2:
         np.testing.assert_array_equal(np.asarray(st_s["nco"]), np.asarray(st_r["nco"]))
         np.testing.assert_allclose(np.asarray(st_s["decim"][0]),
                                    np.asarray(st_r["decim"][0]), atol=1e-6)
+
+
+class TestInt16Ingest:
+    """int16 ADC ingest (cfg.int16_ingest): the fused v2 kernel reads raw
+    count planes. Parity target: the f32 chain fed the SAME quantized
+    signal (counts/2^15) — only fp rounding may differ."""
+
+    def _chains(self):
+        base = dict(fs_in=1_536_000.0, channels=4,
+                    stages=(CicStage(R=8, N=4),
+                            FirStage(R=4, numtaps=97, passband_hz=15_000.0)))
+        ch_f32 = RxChain(RxConfig(**base, fuse_frontend=True, fuse_frontend_depth=2))
+        ch_i16 = RxChain(RxConfig(**base, fuse_frontend=True, fuse_frontend_depth=2,
+                                  int16_ingest=True))
+        return ch_f32, ch_i16
+
+    def test_matches_f32_on_quantized_signal(self, rng):
+        ch_f32, ch_i16 = self._chains()
+        C = 4
+        T = 2 * ch_f32.min_block
+        words = jnp.asarray(nco.freq_word(np.array([5e4, -2e5, 3e5, 0.0]), 1.536e6))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        s32, s16 = ch_f32.init_state(C), ch_i16.init_state(C)
+        for blk in range(3):
+            x = _iq(rng, C, T)
+            cr = np.clip(np.round(np.real(x) * 32768.0), -32768, 32767)
+            ci = np.clip(np.round(np.imag(x) * 32768.0), -32768, 32767)
+            xq = (cr / 32768.0 + 1j * ci / 32768.0).astype(np.complex64)
+            s32, a32, aux32 = ch_f32.step(s32, jnp.asarray(xq), words, mode)
+            s16, a16, aux16 = ch_i16.step_i16(
+                s16, jnp.asarray(cr.astype(np.int16)), jnp.asarray(ci.astype(np.int16)),
+                words, mode)
+            if blk == 0:
+                continue  # mode-filter warm-up
+            np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), atol=3e-4)
+            np.testing.assert_allclose(np.asarray(aux16["power_in"]),
+                                       np.asarray(aux32["power_in"]), rtol=1e-4)
+
+    def test_kernel_power_matches_mean_abs2(self, rng):
+        """The v2 kernel's in-VMEM power reduction == jnp.mean(|iq|^2)."""
+        base = dict(fs_in=1_536_000.0, channels=4,
+                    stages=(CicStage(R=8, N=4),
+                            FirStage(R=4, numtaps=97, passband_hz=15_000.0)))
+        ch = RxChain(RxConfig(**base, fuse_frontend=True, fuse_frontend_depth=2))
+        C = 4
+        T = 2 * ch.min_block
+        words = jnp.asarray(nco.freq_word(np.zeros(C), 1.536e6))
+        mode = jnp.zeros((C,), jnp.int32)
+        x = jnp.asarray(_iq(rng, C, T))
+        st = ch.init_state(C)
+        _, _, aux = ch.step(st, x, words, mode)
+        want = np.mean(np.abs(np.asarray(x)) ** 2, axis=-1)
+        np.testing.assert_allclose(np.asarray(aux["power_in"]), want, rtol=1e-5)
+
+    def test_streaming_matches_one_shot(self, rng):
+        _, ch = self._chains()
+        C = 4
+        T = 2 * ch.min_block
+        words = jnp.asarray(nco.freq_word(np.array([1e5, -1e5, 0.0, 2e5]), 1.536e6))
+        mode = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        x = _iq(rng, C, 2 * T)
+        cr = np.clip(np.round(np.real(x) * 32768.0), -32768, 32767).astype(np.int16)
+        ci = np.clip(np.round(np.imag(x) * 32768.0), -32768, 32767).astype(np.int16)
+        s1 = ch.init_state(C)
+        _, a_one, _ = ch.step_i16(s1, jnp.asarray(cr), jnp.asarray(ci), words, mode)
+        s2 = ch.init_state(C)
+        outs = []
+        for b in range(2):
+            s2, a, _ = ch.step_i16(s2, jnp.asarray(cr[:, b * T:(b + 1) * T]),
+                                   jnp.asarray(ci[:, b * T:(b + 1) * T]), words, mode)
+            outs.append(np.asarray(a))
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1),
+                                   np.asarray(a_one), atol=2e-5)

@@ -136,3 +136,31 @@ class TestCaptureSource:
             ref.append(np.asarray(a))
         ref = np.concatenate(ref, axis=-1)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_deinterleave_native():
+    from radioframe.native import iq_i16_deinterleave
+
+    pcm = np.arange(-8, 8, dtype=np.int16)  # [i0 q0 i1 q1 ...]
+    xr, xi = iq_i16_deinterleave(pcm)
+    np.testing.assert_array_equal(xr, pcm[0::2])
+    np.testing.assert_array_equal(xi, pcm[1::2])
+
+
+def test_capture_source_raw_i16(rng):
+    """raw_i16 capture: ring carries interleaved int16; iterator yields
+    (xr, xi) plane blocks; values match the complex64 route bit-for-bit."""
+    from radioframe.core.stream import CaptureSource
+
+    n_chunks, chunk = 6, 1024
+    pcms = [(rng.standard_normal(2 * chunk) * 8192).astype(np.int16)
+            for _ in range(n_chunks)]
+    src = CaptureSource(iter(pcms), block_len=1536, raw_i16=True)
+    blocks = list(src)
+    assert len(blocks) == n_chunks * chunk // 1536
+    got_r = np.concatenate([b[0][0] for b in blocks])
+    got_i = np.concatenate([b[1][0] for b in blocks])
+    allpcm = np.concatenate(pcms)
+    np.testing.assert_array_equal(got_r, allpcm[0::2][: got_r.size])
+    np.testing.assert_array_equal(got_i, allpcm[1::2][: got_i.size])
+    assert src.overruns == 0

@@ -53,16 +53,17 @@ def main():
     T = 8 * chain.min_block
     n_blocks = 6 if on_cpu else 64
     rng = np.random.default_rng(0)
-    blocks = [jnp.asarray((rng.standard_normal((C, T)) + 1j
-                           * rng.standard_normal((C, T))).astype(np.complex64))
-              for _ in range(n_blocks)]
+    blocks_np = [(rng.standard_normal((C, T)) + 1j
+                  * rng.standard_normal((C, T))).astype(np.complex64)
+                 for _ in range(n_blocks)]
     words = jnp.asarray(nco.freq_word(np.linspace(-5e5, 5e5, C), cfg.fs_in))
     mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
 
     # --- per-stage times on device 0 (axon-safe: all iterations inside ONE
-    # executable, f32-plane input, sync by fetching an f32 scalar) ---------
-    iq_ri = jnp.asarray(np.stack([np.real(np.asarray(blocks[0])),
-                                  np.imag(np.asarray(blocks[0]))]).astype(np.float32))
+    # executable, f32-plane input, sync by fetching an f32 scalar; complex
+    # arrays never cross host<->device) ------------------------------------
+    iq_ri = jnp.asarray(np.stack([np.real(blocks_np[0]),
+                                  np.imag(blocks_np[0])]).astype(np.float32))
 
     def front_loop(fstate, iq_ri, words, n):
         iq = jax.lax.complex(iq_ri[0], iq_ri[1])
@@ -84,8 +85,18 @@ def main():
 
     frontj = jax.jit(front_loop, static_argnames="n", donate_argnums=0)
     backj = jax.jit(back_loop, static_argnames="n", donate_argnums=0)
-    fstate, bstate = chain.split_state(chain.init_state(C))
-    _, x, pw = jax.jit(chain.step_front)(fstate, jax.lax.complex(iq_ri[0], iq_ri[1]), words)
+    # init INSIDE jit: eager complex-array creation is op-by-op dispatch,
+    # unimplemented through the axon tunnel
+    fstate, bstate = jax.jit(lambda: chain.split_state(chain.init_state(C)))()
+
+    @jax.jit
+    def _front_once(fstate, iq_ri, words):
+        # complex built INSIDE jit (axon: op-by-op complex dispatch is
+        # unimplemented); x stays device-resident for back_loop's arg
+        _, x, pw = chain.step_front(fstate, jax.lax.complex(iq_ri[0], iq_ri[1]), words)
+        return x, pw
+
+    x, pw = _front_once(fstate, iq_ri, words)
 
     fstate, s = frontj(fstate, iq_ri, words, n=n_blocks)
     float(s)
@@ -108,7 +119,8 @@ def main():
         print("single device: pipelined run skipped (ceiling above is the result)")
         return
 
-    # --- sequential vs pipelined wall clock -------------------------------
+    # --- sequential vs pipelined wall clock (CPU-mesh path only) ----------
+    blocks = [jnp.asarray(b) for b in blocks_np]
     step = jax.jit(chain.step)
     state = chain.init_state(C)
     state, audio, _ = step(state, blocks[0], words, mode)
