@@ -42,7 +42,7 @@ def bench_adc_rate():
     NCO+CIC(32) front end. Returns input IQ samples/s/chip."""
     from radioframe.core import presets
 
-    C, iters = 128, 4  # 128 channels -> full lane tile (C=8 wastes 94% of
+    C, iters = 128, 16  # 128 channels -> full lane tile (C=8 wastes 94% of
     # the padded (Cp=128) kernel lanes: measured 0.59 vs 6.47 Gsps)
     cfg = presets.adc_61m44(channels=C, fuse_frontend=True, fuse_frontend_depth=2)
     chain = RxChain(cfg)
@@ -79,7 +79,7 @@ def bench_channelizer():
     per-channel demod/AGC + waterfall. Returns wideband samples/s/chip."""
     from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 
-    M, iters = 4096, 8
+    M, iters = 4096, 32
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, spectrum_nfft=4096)
     chain = ChannelizerChain(cfg)

@@ -49,6 +49,36 @@ def demod_ssb(x):
     return 2.0 * jnp.real(x)
 
 
+_EXP_GROUP = 64
+
+
+def _exp_neg_affine(a, w, T: int):
+    """e^{-j(a + w·n)} for n in [0, T), float phases — factorized.
+
+    Same trick as the DDS oscillator (nco._osc): the phase is affine in n,
+    so exp factorizes into coarse x fine grids, cutting sin/cos count from
+    T to T/K + K per channel (they are the VPU's slowest ops; at the 4096-
+    channel channelizer's rates this dominates the demod bank). The coarse
+    phase is wrapped mod 2π before cos/sin — same fp behavior as the direct
+    form at large n.
+    """
+    C = int(np.broadcast_shapes(a.shape, w.shape)[0])
+    K = _EXP_GROUP
+    if T % K != 0 or T < 2 * K:
+        n = jnp.arange(T, dtype=jnp.float32)
+        ang = a[:, None] + w[:, None] * n[None, :]
+        return jnp.exp(-1j * ang).astype(jnp.complex64)
+    M = T // K
+    m = jnp.arange(M, dtype=jnp.float32)
+    k = jnp.arange(K, dtype=jnp.float32)
+    coarse = jnp.mod(a[:, None] + (w * K)[:, None] * m[None, :],
+                     jnp.float32(2.0 * np.pi))
+    fine = w[:, None] * k[None, :]
+    e1 = jnp.exp(-1j * coarse).astype(jnp.complex64)  # (C, M)
+    e2 = jnp.exp(-1j * fine).astype(jnp.complex64)    # (C, K)
+    return (e1[:, :, None] * e2[:, None, :]).reshape(C, T)
+
+
 def demod_cw(phase_acc, x, tone_word):
     """Beat-tone shift via the DDS NCO (mix *up* by tone_hz); returns (y, acc)."""
     y, acc = nco.mix_up(x, tone_word, phase_acc)
@@ -79,9 +109,7 @@ def demod_sam(dc_state, carrier_acc, x, fs: float):
     # residual carrier frequency: angle of sum x[n] conj(x[n-1])
     r1 = jnp.sum(x[:, 1:] * jnp.conj(x[:, :-1]), axis=-1)
     w = jnp.arctan2(jnp.imag(r1), jnp.real(r1))  # rad/sample
-    n = jnp.arange(T, dtype=jnp.float32)
-    phase = carrier_acc[0][:, None] + w[:, None] * n[None, :]
-    derot = x * jnp.exp(-1j * phase).astype(x.dtype)
+    derot = x * _exp_neg_affine(carrier_acc[0], w, T)
     # align residual constant phase: rotate by mean phasor so carrier -> +Re
     mean = jnp.sum(derot, axis=-1)
     mean = mean / jnp.maximum(jnp.abs(mean), 1e-9)
@@ -138,11 +166,34 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     keeps the program static-shape and branch-free (SURVEY.md §2.3 mode-bank
     routing). Returns (audio (C, T) float32, new_state).
     """
+    from jax import lax
+
+    # Runtime presence gating: each non-trivial demod runs only if some
+    # channel actually selects it (lax.cond — a real branch under jit, the
+    # EP-analog "routing" half of the dense bank). Selected audio is
+    # IDENTICAL to dense evaluation (a mode that is selected anywhere takes
+    # the live branch); skipped modes leave their state untouched except
+    # the CW DDS phase, which advances exactly (int32, stateful like
+    # hardware). At the 4096-channel channelizer this halves the demod
+    # bank when SAM/CW populations are absent (ROADMAP round-2 notes).
     y_ssb = demod_ssb(x)
-    y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
-    y_am, am_dc = demod_am(state["am_dc"], x)
-    y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
-    y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
+    zeros = jnp.zeros(x.shape, jnp.float32)
+    y_cw, cw_phase = lax.cond(
+        jnp.any(mode == CW),
+        lambda: demod_cw(state["cw_phase"], x, cw_tone_word),
+        lambda: (zeros, state["cw_phase"] + cw_tone_word * jnp.int32(x.shape[-1])))
+    y_am, am_dc = lax.cond(
+        jnp.any(mode == AM),
+        lambda: demod_am(state["am_dc"], x),
+        lambda: (zeros, state["am_dc"]))
+    y_nfm, nfm_last = lax.cond(
+        jnp.any(mode == NFM),
+        lambda: demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz),
+        lambda: (zeros, state["nfm_last"]))
+    y_sam, sam_dc, sam_carrier = lax.cond(
+        jnp.any(mode == SAM),
+        lambda: demod_sam(state["sam_dc"], state["sam_carrier"], x, fs),
+        lambda: (zeros, state["sam_dc"], state["sam_carrier"]))
     # LSB demod is the same 2*Re after its (negative-band) mode filter
     stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # (6, C, T)
     sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]

@@ -131,6 +131,17 @@ def main():
         return st, jnp.sum(jnp.abs(filt[:, :, -1]))
     timed("ols_bank", ols_fn, lambda: bank.init_state(C), (xa_ri,), iters, results)
 
+    # OLS with frequency-domain per-channel filter select (the shipped hot
+    # path: one forward + one inverse FFT instead of K)
+    fidx = demod_op.filter_index(mode)
+
+    def ols_sel_fn(st, x_ri, fidx):
+        x = jax.lax.complex(x_ri[0], x_ri[1])
+        sel, st = bank.apply_selected(st, x, fidx)
+        return st, jnp.sum(jnp.abs(sel[:, -1]))
+    timed("ols_selected", ols_sel_fn, lambda: bank.init_state(C), (xa_ri, fidx),
+          iters, results)
+
     # demod bank + AGC at audio rate
     def dem_fn(st, x_ri, mode, cw_word):
         demod_state, agc_env = st

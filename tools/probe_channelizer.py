@@ -34,15 +34,15 @@ from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 M, ITERS, BLOCK_MULT = 4096, 8, 128
 
 
-def timeit(name, loop_fn, *args):
+def timeit(name, loop_fn, state0, *args):
     runj = jax.jit(loop_fn, static_argnames="n", donate_argnums=0)
-    st, s = runj(*args, n=ITERS)
+    st, s = runj(state0, *args, n=ITERS)  # state0 donated here
     float(s)
     t0 = time.perf_counter()
-    st, s = runj(*args, n=ITERS)
+    st, s = runj(st, *args, n=ITERS)  # thread the fresh state, not state0
     float(s)
     dt = (time.perf_counter() - t0) / ITERS
-    print(f"{name:12s} {dt*1e3:9.2f} ms/block")
+    print(f"{name:12s} {dt*1e3:9.2f} ms/block", flush=True)
     return dt
 
 
@@ -59,7 +59,7 @@ def main():
     au = jnp.asarray(rng.standard_normal((M, F)).astype(np.float32))
     mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
     print(f"M={M} T={T} ({T/1e6:.2f} M wideband samples, {F} frames/ch, "
-          f"{ITERS} iters)")
+          f"{ITERS} iters)", flush=True)
 
     if "full" in which:
         def full_loop(state, wb_ri, mode, n):
@@ -86,7 +86,7 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-        timeit("pfb+dft", pfb_loop, chain.pfb.init_state(1), wb_ri)
+        timeit("pfb+dft", pfb_loop, jax.jit(lambda: chain.pfb.init_state(1))(), wb_ri)
 
     if "demod" in which:
         def demod_loop(state, ch_ri, mode, n):
@@ -101,7 +101,7 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-        timeit("demod bank", demod_loop, demod_op.bank_init(M), ch_ri, mode)
+        timeit("demod bank", demod_loop, jax.jit(lambda: demod_op.bank_init(M))(), ch_ri, mode)
 
     if "agc" in which:
         def agc_loop(state, au, mode, n):
@@ -112,7 +112,7 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-        timeit("agc bank", agc_loop, chain.agc_bank.init_state(M), au, mode)
+        timeit("agc bank", agc_loop, jax.jit(lambda: chain.agc_bank.init_state(M))(), au, mode)
 
     if "waterfall" in which:
         def wf_loop(state, wb_ri, n):
@@ -125,7 +125,7 @@ def main():
 
             return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
 
-        timeit("waterfall", wf_loop, chain.spectrum.init_state(1), wb_ri)
+        timeit("waterfall", wf_loop, jax.jit(lambda: chain.spectrum.init_state(1))(), wb_ri)
 
 
 if __name__ == "__main__":
