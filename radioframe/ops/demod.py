@@ -166,34 +166,20 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     keeps the program static-shape and branch-free (SURVEY.md §2.3 mode-bank
     routing). Returns (audio (C, T) float32, new_state).
     """
-    from jax import lax
-
-    # Runtime presence gating: each non-trivial demod runs only if some
-    # channel actually selects it (lax.cond — a real branch under jit, the
-    # EP-analog "routing" half of the dense bank). Selected audio is
-    # IDENTICAL to dense evaluation (a mode that is selected anywhere takes
-    # the live branch); skipped modes leave their state untouched except
-    # the CW DDS phase, which advances exactly (int32, stateful like
-    # hardware). At the 4096-channel channelizer this halves the demod
-    # bank when SAM/CW populations are absent (ROADMAP round-2 notes).
+    # NOTE: a lax.cond-gated variant (skip demods whose mode is absent this
+    # block) was tried in round 2 and REVERTED: inside the full chain
+    # program the CPU thunk runtime produced schedule-dependent corrupted
+    # blocks (~1% of samples, nondeterministic across processes; bisected
+    # to the conds — tests/test_pipeline.py caught it), and the measured
+    # win on the 4096-channel channelizer was nil (4.86 -> 4.82 ms/block,
+    # within noise: the bank's cost is scans + stack/select HBM traffic,
+    # not the gated transcendentals). Dense evaluation is the reliable
+    # TPU-native shape here.
     y_ssb = demod_ssb(x)
-    zeros = jnp.zeros(x.shape, jnp.float32)
-    y_cw, cw_phase = lax.cond(
-        jnp.any(mode == CW),
-        lambda: demod_cw(state["cw_phase"], x, cw_tone_word),
-        lambda: (zeros, state["cw_phase"] + cw_tone_word * jnp.int32(x.shape[-1])))
-    y_am, am_dc = lax.cond(
-        jnp.any(mode == AM),
-        lambda: demod_am(state["am_dc"], x),
-        lambda: (zeros, state["am_dc"]))
-    y_nfm, nfm_last = lax.cond(
-        jnp.any(mode == NFM),
-        lambda: demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz),
-        lambda: (zeros, state["nfm_last"]))
-    y_sam, sam_dc, sam_carrier = lax.cond(
-        jnp.any(mode == SAM),
-        lambda: demod_sam(state["sam_dc"], state["sam_carrier"], x, fs),
-        lambda: (zeros, state["sam_dc"], state["sam_carrier"]))
+    y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
+    y_am, am_dc = demod_am(state["am_dc"], x)
+    y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
+    y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
     # LSB demod is the same 2*Re after its (negative-band) mode filter
     stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # (6, C, T)
     sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]

@@ -47,8 +47,14 @@ class PipelinedRx:
         self.chain = chain
         self.dev_front = device_front if device_front is not None else devs[0]
         self.dev_back = device_back if device_back is not None else devs[min(1, len(devs) - 1)]
-        self._front = jax.jit(chain.step_front, donate_argnums=0)
-        self._back = jax.jit(chain.step_back, donate_argnums=0)
+        # No buffer donation here: the cross-device device_put of (x, pw) is
+        # asynchronous, and letting the next front/back dispatch reuse input
+        # buffers while a transfer may still be reading them produced rare
+        # garbage blocks on the CPU backend (observed: ~1% of samples
+        # clobbered, nondeterministic). State is audio-rate-small; copying
+        # it is noise next to the block compute.
+        self._front = jax.jit(chain.step_front)
+        self._back = jax.jit(chain.step_back)
 
     def init_states(self, num_channels: int):
         """(front_state on dev A, back_state on dev B)."""
