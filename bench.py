@@ -114,6 +114,92 @@ def bench_channelizer():
                             "iters": iters, "seconds": round(dt, 4)}
 
 
+def bench_tx():
+    """DAC-rate DUC dataflow: 48 kHz audio -> 61.44 Msps IQ (L=1280) per
+    channel via core/presets.tx_adc_61m44 — the adjoint of adc_61m44
+    (SURVEY.md §2.1 #10, BASELINE config 4 TX half). Returns OUTPUT IQ
+    samples/s/chip (the DAC-rate side, where the work is)."""
+    from radioframe.core import presets
+    from radioframe.pipelines.tx_chain import TxChain
+
+    C, iters = 64, 8
+    cfg = presets.tx_adc_61m44(channels=C)
+    chain = TxChain(cfg)
+    Ta = chain.min_block  # 512 audio samples -> 655360 IQ out per channel
+    L = cfg.interp
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.standard_normal((C, Ta)).astype(np.float32))
+    words = jnp.asarray(nco.freq_word(np.linspace(-20e6, 20e6, C), cfg.fs_out))
+    mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+
+    def run(state, audio, words, mode, n):
+        def body(_, carry):
+            st, acc = carry
+            st, iq = chain.step(st, audio, words, mode)
+            return st, acc + jnp.sum(jnp.abs(iq[:, -1]))
+
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    runj = jax.jit(run, static_argnames="n", donate_argnums=0)
+    state = jax.jit(lambda: chain.init_state(C))()
+    state, s = runj(state, audio, words, mode, n=iters)
+    _sync(s)
+    t0 = time.perf_counter()
+    state, s = runj(state, audio, words, mode, n=iters)
+    _sync(s)
+    dt = time.perf_counter() - t0
+    return C * Ta * L * iters / dt, {"channels": C, "audio_T": Ta, "interp": L,
+                                     "iters": iters, "seconds": round(dt, 4)}
+
+
+def bench_duplex():
+    """Config-4 dataflow: RX DDC + TX DUC in ONE jitted program (full duplex).
+    RX: 1.536 Msps -> 48 kHz (R=32) per channel; TX: the exact adjoint
+    (48 kHz -> 1.536 Msps, FIR(4) + CIC(8, N=4)). Returns RX input IQ
+    samples/s/chip (TX emits the same rate out, simultaneously)."""
+    from radioframe.pipelines.duplex import DuplexChain
+
+    C, iters = 128, 16
+    rx_cfg = RxConfig(
+        fs_in=1_536_000.0, channels=C,
+        stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+        ols_hop=512, fuse_frontend=True, fuse_frontend_depth=2)
+    from radioframe.core.config import TxConfig
+
+    tx_cfg = TxConfig(fs_out=1_536_000.0, channels=C,
+                      interp_stages=(4, CicStage(R=8, N=4)))
+    duplex = DuplexChain(rx_cfg, tx_cfg)
+    T = 8 * duplex.rx.min_block
+    Ta = T // rx_cfg.decim
+    rng = np.random.default_rng(4)
+    iq_ri = jnp.asarray(rng.standard_normal((2, C, T)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((C, Ta)).astype(np.float32))
+    words = jnp.asarray(nco.freq_word(np.linspace(-5e5, 5e5, C), rx_cfg.fs_in))
+    mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+
+    def run(state, iq_ri, audio, words, mode, n):
+        iq = jax.lax.complex(iq_ri[0], iq_ri[1])
+
+        def body(_, carry):
+            st, acc = carry
+            st, rx_audio, tx_iq, _ = duplex.step(st, iq, audio, words, mode, words, mode)
+            return st, acc + jnp.sum(jnp.abs(rx_audio[:, -1])) + jnp.sum(jnp.abs(tx_iq[:, -1]))
+
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    runj = jax.jit(run, static_argnames="n", donate_argnums=0)
+    state = jax.jit(lambda: duplex.init_state(C))()
+    state, s = runj(state, iq_ri, audio, words, mode, n=iters)
+    _sync(s)
+    t0 = time.perf_counter()
+    state, s = runj(state, iq_ri, audio, words, mode, n=iters)
+    _sync(s)
+    dt = time.perf_counter() - t0
+    return C * T * iters / dt, {"channels": C, "block_T": T, "rx_decim": rx_cfg.decim,
+                                "tx_interp": tx_cfg.interp, "iters": iters,
+                                "seconds": round(dt, 4)}
+
+
 def main():
     C = 128          # channels (TPU lane width)
     blocks = 64      # timed iterations (one dispatch; amortizes the axon
@@ -164,34 +250,43 @@ def main():
     float(s)
     dt = time.perf_counter() - t0
 
-    samples = C * T * blocks  # channel-input IQ samples consumed
-    rate = samples / dt
     dev = jax.devices()[0]
     detail = {
         "device": str(dev), "channels": C, "block_T": T, "decim": cfg.decim,
-        "iters": blocks, "seconds": round(dt, 4),
     }
-    # steady-state number at deeper dispatch amortization (the ~27 ms axon
-    # tunnel round trip costs 0.43 ms/block at 64 iters, 0.11 at 256 —
-    # production streaming runs persistent loops, so this is the honest
-    # continuous-operation figure; the headline stays the 64-iter run)
-    state, s = run(state, iq_ri, words, mode, n=4 * blocks)
-    float(s)
-    t0 = time.perf_counter()
-    state, s = run(state, iq_ri, words, mode, n=4 * blocks)
-    float(s)
-    dt4 = time.perf_counter() - t0
+    # raw 64-iter figure (kept for continuity with BENCH_r01/r02 headlines;
+    # its ~27 ms axon-tunnel round trip is ~25% of the run, so its variance
+    # swamps real chain changes — that is why it is NOT the headline)
+    detail["raw_64iter"] = {"samples_per_s": round(C * T * blocks / dt, 1),
+                            "iters": blocks, "seconds": round(dt, 4)}
+    # HEADLINE: steady-state (256-iter) throughput, best of two runs
+    # (VERDICT r2 #2: the driver-parsed value must be dispatch-floor-robust —
+    # at 256 iters the tunnel round trip costs 0.11 ms/block and two runs
+    # bound the residual variance; production streaming runs persistent
+    # loops, so this is the honest continuous-operation figure)
+    ss = []
+    for _ in range(2):
+        state, s = run(state, iq_ri, words, mode, n=4 * blocks)
+        float(s)
+        t0 = time.perf_counter()
+        state, s = run(state, iq_ri, words, mode, n=4 * blocks)
+        float(s)
+        ss.append(time.perf_counter() - t0)
+    dt4 = min(ss)
+    rate = C * T * 4 * blocks / dt4
     detail["steady_state_256iter"] = {
-        "samples_per_s": round(C * T * 4 * blocks / dt4, 1),
-        "seconds": round(dt4, 4)}
-    # bench matrix (VERDICT r1 #4): the other two dataflows, logged in
-    # detail so the driver-parsed flagship line stays the headline
+        "samples_per_s": round(rate, 1),
+        "seconds": [round(x, 4) for x in ss]}
+    # bench matrix (VERDICT r1 #4, r2 #4): the other four dataflows, logged
+    # in detail so the driver-parsed flagship line stays the headline
     import os
     import traceback
 
     if not os.environ.get("RADIOFRAME_BENCH_FLAGSHIP_ONLY"):
         for name, fn in (("adc_rate_r1280", bench_adc_rate),
-                         ("channelizer_4096", bench_channelizer)):
+                         ("channelizer_4096", bench_channelizer),
+                         ("tx_adc_r1280", bench_tx),
+                         ("duplex", bench_duplex)):
             try:
                 r, info = fn()
                 detail[name] = {"samples_per_s": round(r, 1), **info}
