@@ -4,7 +4,7 @@ Reference analog: `[U:settings.c]` versioned EEPROM persistence + watchdog
 recovery. Here the full DSP ``ChainState`` pytree (NCO phase accumulators,
 FIR/CIC tails, AGC envelopes, demod states) snapshots at block-epoch
 boundaries; restoring yields bit-exact stream continuation (tested in
-tests/test_checkpoint.py). On multi-host failure the driver restarts from
+tests/test_api_aux.py and tests/test_fault.py). On multi-host failure the driver restarts from
 the last epoch (SURVEY.md §5 failure-detection row).
 """
 

@@ -117,6 +117,12 @@ class RxConfig:
     nr_nfft: int = 256
     notch_enabled: bool = False
     notch_nfft: int = 256
+    # streaming VAD (`[U:vad.c]`): per-frame voice flags at nr_nfft; gates
+    # SpectralNR's noise-estimate update (speech never learned as noise)
+    # and is reported in aux["vad_active"]
+    vad_enabled: bool = False
+    vad_energy_ratio: float = 3.0
+    vad_flatness_max: float = 0.5
     # FM squelch (gates NFM audio on discriminator HF noise)
     squelch_enabled: bool = False
     squelch_threshold: float = 0.5

@@ -85,6 +85,13 @@ class CaptureSource:
         # and the iterator yields (xr, xi) int16 plane blocks for step_i16;
         # the host never touches f32 (the kernel upcasts in VMEM).
         self.raw_i16 = bool(raw_i16)
+        if self.raw_i16 and abs(scale - 1.0 / 32767.0) > 1e-12:
+            # the i16 route never applies ``scale``: the chain's fused kernel
+            # upcasts with RxChain's input_scale (2**-15). A custom scale
+            # (e.g. a 12-bit ADC) silently getting the wrong gain is worse
+            # than refusing — pass scale via RxConfig/FusedFrontend instead.
+            raise ValueError("raw_i16=True ignores CaptureSource scale; "
+                             "set the chain's int16 input_scale instead")
         sample_bytes = 4 if raw_i16 else 8
         self._block_bytes = self.channels * self.block_len * sample_bytes
         self.ring = RingBuffer(capacity_blocks * self._block_bytes)

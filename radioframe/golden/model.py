@@ -362,3 +362,94 @@ def pfb_channelize(x: np.ndarray, M: int, proto_taps: np.ndarray):
         u += h[t][None, :] * shifted
     y = np.fft.fft(u, axis=-1)  # DFT across phases
     return y
+
+
+# ---------------------------------------------------------------------------
+# Interference fighters  (SURVEY.md §2.1 #12/#13: [U:noise_reduction.c],
+# [U:noise_blanker.c], [U:auto_notch.c], [U:vad.c]) — the A0 contract for
+# radioframe/ops/interference.py, written per-frame/per-sample for clarity.
+# ---------------------------------------------------------------------------
+
+
+def spectral_nr(x, nfft=256, beta=1.5, floor=0.1, bias=1.0, up=1.1,
+                noise_est=None, voice=None):
+    """FFT-domain spectral subtraction, one block (single channel).
+
+    Minimum-statistics noise estimate: per-bin min over the block's frames
+    (voice-flagged frames excluded when ``voice`` given), followed down
+    instantly and up by at most ``up`` per block; the min of F Rayleigh
+    magnitudes is rescaled by bias*sqrt(F) toward the mean. Returns
+    (y (T,), new noise_est (nfft,)).
+    """
+    x = np.asarray(x)
+    F = len(x) // nfft
+    X = np.fft.fft(x[: F * nfft].reshape(F, nfft), axis=-1)
+    mag = np.abs(X)
+    if noise_est is None:
+        noise_est = np.full(nfft, 1e3)
+    if voice is None:
+        quiet = np.ones(F, bool)
+    else:
+        quiet = ~np.asarray(voice, bool)
+    if quiet.any():
+        block_min = mag[quiet].min(axis=0)
+        est = np.minimum(noise_est * up, block_min * (bias * np.sqrt(F)))
+    else:
+        est = noise_est  # every frame voice-active: estimate frozen
+    gain = np.clip(1.0 - beta * est[None, :] / np.maximum(mag, 1e-9), floor, 1.0)
+    y = np.fft.ifft(X * gain, axis=-1).reshape(F * nfft)
+    return y.astype(x.dtype), est
+
+
+def noise_blanker(x, threshold=6.0, avg_pole=0.999, power_est=0.0):
+    """Impulse blanker, per-sample (single channel): a one-pole running mean
+    of |x|^2 tracks the background; samples above threshold^2 * mean are
+    zeroed. Returns (y, final power_est)."""
+    x = np.asarray(x)
+    y = x.copy()
+    k2 = float(threshold) ** 2
+    avg = float(power_est)
+    for n in range(len(x)):
+        p = abs(x[n]) ** 2
+        avg = avg_pole * avg + (1.0 - avg_pole) * p
+        if p > k2 * max(avg, 1e-12):
+            y[n] = 0.0
+    return y, np.float32(avg)
+
+
+def auto_notch(x, nfft=256, ema=0.9, ratio=8.0, neighborhood=3, mag_ema=None):
+    """Spectral auto-notch, one block (single channel): per-bin EMA of the
+    block-mean magnitude; bins whose EMA exceeds ``ratio``x the mean of the
+    ±neighborhood surrounding bins (a LOCAL peak — a carrier) are nulled.
+    Returns (y (T,), new mag_ema (nfft,))."""
+    x = np.asarray(x)
+    F = len(x) // nfft
+    X = np.fft.fft(x[: F * nfft].reshape(F, nfft), axis=-1)
+    mag = np.abs(X)
+    if mag_ema is None:
+        mag_ema = np.zeros(nfft)
+    new_ema = ema * mag_ema + (1.0 - ema) * mag.mean(axis=0)
+    W = int(neighborhood)
+    bg = sum(np.roll(new_ema, s) for s in range(-W, W + 1) if s != 0) / (2 * W)
+    notch = new_ema > ratio * np.maximum(bg, 1e-9)
+    y = np.fft.ifft(X * np.where(notch[None, :], 0.0, 1.0), axis=-1).reshape(F * nfft)
+    return y.astype(x.dtype), new_ema
+
+
+def vad_stream(x, nfft=256, energy_ratio=3.0, flatness_max=0.5, up=1.1,
+               floor=None):
+    """Streaming VAD, one block (single channel): per-frame mean power and
+    spectral flatness (geometric/arithmetic mean ratio); the quiet floor is
+    minimum-statistics tracked (down instantly via the block-min frame
+    energy, up by ``up`` per block). A frame is voice when energy >
+    ratio*floor AND flatness < flatness_max. Returns (flags (F,), floor)."""
+    x = np.asarray(x)
+    F = len(x) // nfft
+    X = np.fft.fft(x[: F * nfft].reshape(F, nfft), axis=-1)
+    p = np.abs(X) ** 2 + 1e-12
+    energy = p.mean(axis=-1)
+    if floor is None:
+        floor = 1e6
+    floor = min(floor * up, energy.min())
+    flat = np.exp(np.log(p).mean(axis=-1)) / energy
+    return (energy > energy_ratio * floor) & (flat < flatness_max), floor

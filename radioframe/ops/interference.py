@@ -45,7 +45,12 @@ class SpectralNR:
     def init_state(self, num_channels: int):
         return jnp.full((num_channels, self.nfft), 1e3, dtype=jnp.float32)
 
-    def __call__(self, noise_est, x):
+    def __call__(self, noise_est, x, voice=None):
+        """``voice``: optional (C, F) per-frame voice-activity flags (from
+        ``Vad`` at the same nfft). Voice-active frames are EXCLUDED from the
+        noise-estimate update — the `[U:vad.c]` gating: speech must not be
+        learned as noise. With every frame active the estimate freezes
+        (no ``up`` growth either)."""
         X = jnp.fft.fft(_frames(x, self.nfft), axis=-1)
         mag = jnp.abs(X).astype(jnp.float32)
 
@@ -55,8 +60,17 @@ class SpectralNR:
         # of F iid Rayleigh magnitudes sits ~sqrt(F) below the mean — scale
         # it back up so ``est`` approximates the mean noise magnitude.
         F = mag.shape[1]
-        block_min = jnp.min(mag, axis=1)  # (C, nfft)
-        est = jnp.minimum(noise_est * self.up, block_min * (self.bias * float(np.sqrt(F))))
+        if voice is None:
+            block_min = jnp.min(mag, axis=1)  # (C, nfft)
+            est = jnp.minimum(noise_est * self.up,
+                              block_min * (self.bias * float(np.sqrt(F))))
+        else:
+            inf = jnp.float32(np.inf)
+            block_min = jnp.min(jnp.where(voice[:, :, None], inf, mag), axis=1)
+            any_quiet = jnp.any(~voice, axis=1)[:, None]  # (C, 1)
+            cand = jnp.minimum(noise_est * self.up,
+                               block_min * (self.bias * float(np.sqrt(F))))
+            est = jnp.where(any_quiet, cand, noise_est)  # all-voice: freeze
         gain = jnp.clip(1.0 - self.beta * est[:, None, :] / jnp.maximum(mag, 1e-9),
                         self.floor, 1.0)
         y = jnp.fft.ifft(X * gain, axis=-1)
@@ -123,7 +137,8 @@ def vad(x, nfft: int = 256, energy_ratio: float = 3.0, flatness_max: float = 0.5
 
     Energy reference is the 20th-percentile frame (the quiet floor), not the
     median — with ~50% duty signals the median sits inside the active
-    population and would mask everything.
+    population and would mask everything. (Stateless, whole-block form; the
+    streaming chain uses :class:`Vad`.)
     """
     X = jnp.fft.fft(_frames(x, nfft), axis=-1)
     p = jnp.abs(X) ** 2 + 1e-12
@@ -131,3 +146,37 @@ def vad(x, nfft: int = 256, energy_ratio: float = 3.0, flatness_max: float = 0.5
     floor_energy = jnp.quantile(energy, 0.2, axis=-1, keepdims=True)
     flat = jnp.exp(jnp.mean(jnp.log(p), axis=-1)) / energy  # geometric/arith
     return (energy > energy_ratio * floor_energy) & (flat < flatness_max)
+
+
+class Vad:
+    """Streaming voice-activity detector (`[U:vad.c]` analog).
+
+    State: per-channel quiet-floor energy (C,), minimum-statistics tracked
+    like SpectralNR's noise estimate — follow the block-min frame energy down
+    instantly, rise slowly (factor ``up`` per block). A frame is voice-active
+    when its energy exceeds ``energy_ratio``x the floor AND its spectral
+    flatness is below ``flatness_max`` (structured, not broadband, signal).
+    In the chain the flags gate SpectralNR's noise-estimate update.
+    """
+
+    def __init__(self, nfft: int = 256, energy_ratio: float = 3.0,
+                 flatness_max: float = 0.5, up: float = 1.1):
+        self.nfft = nfft
+        self.ratio = float(energy_ratio)
+        self.flat_max = float(flatness_max)
+        self.up = float(up)
+
+    def init_state(self, num_channels: int):
+        # start HIGH: the first block's min snaps it down (min-statistics),
+        # and until then nothing is flagged voice — NR learns freely
+        return jnp.full((num_channels,), 1e6, dtype=jnp.float32)
+
+    def __call__(self, floor, x):
+        """(floor (C,), x (C, T)) -> (voice flags (C, F) bool, new floor)."""
+        X = jnp.fft.fft(_frames(x, self.nfft), axis=-1)
+        p = jnp.abs(X).astype(jnp.float32) ** 2 + 1e-12
+        energy = jnp.mean(p, axis=-1)  # (C, F)
+        new_floor = jnp.minimum(floor * self.up, jnp.min(energy, axis=-1))
+        flat = jnp.exp(jnp.mean(jnp.log(p), axis=-1)) / energy
+        active = (energy > self.ratio * new_floor[:, None]) & (flat < self.flat_max)
+        return active, new_floor

@@ -114,11 +114,14 @@ class RxChain:
         assert len(mode_cfgs) == n_modes
         self.agc_bank = agc_op.AgcBank(mode_cfgs, fa)
         self.cw_tone_word = int(nco.freq_word(cfg.cw_tone_hz, fa))
-        from radioframe.ops.interference import AutoNotch, NoiseBlanker, SpectralNR
+        from radioframe.ops.interference import AutoNotch, NoiseBlanker, SpectralNR, Vad
 
         self.nb = NoiseBlanker(cfg.nb_threshold) if cfg.nb_enabled else None
         self.nr = SpectralNR(cfg.nr_nfft) if cfg.nr_enabled else None
         self.notch = AutoNotch(cfg.notch_nfft) if cfg.notch_enabled else None
+        # VAD frames share nr_nfft so its flags align with NR's frames
+        self.vad = (Vad(cfg.nr_nfft, cfg.vad_energy_ratio, cfg.vad_flatness_max)
+                    if cfg.vad_enabled else None)
         # NFM de-emphasis (one-pole biquad, complements TX pre-emphasis)
         self.deemph = None
         if cfg.nfm_deemphasis_s > 0.0:
@@ -133,7 +136,7 @@ class RxChain:
             r *= dec.R
         lcm = int(np.lcm(lcm, r * self.mode_bank.hop))
         lcm = int(np.lcm(lcm, r * cfg.spectrum_nfft)) if cfg.emit_spectrum else lcm
-        if cfg.nr_enabled:
+        if cfg.nr_enabled or cfg.vad_enabled:
             lcm = int(np.lcm(lcm, r * cfg.nr_nfft))
         if cfg.notch_enabled:
             lcm = int(np.lcm(lcm, r * cfg.notch_nfft))
@@ -159,6 +162,7 @@ class RxChain:
             "spec": self.spectrum.init_state(C),
             "nb": self.nb.init_state(C) if self.nb else (),
             "nr": self.nr.init_state(C) if self.nr else (),
+            "vad": self.vad.init_state(C) if self.vad else (),
             "notch": self.notch.init_state(C) if self.notch else (),
             "squelch": jnp.zeros((C,), jnp.float32) if self.cfg.squelch_enabled else (),
             "deemph": self.deemph.init_state(C) if self.deemph else (),
@@ -185,6 +189,12 @@ class RxChain:
         -> (fstate, x (C, T/decim) c64, power_in (C,) f32)."""
         assert iq.shape[-1] % self.min_block == 0, (
             f"block length {iq.shape[-1]} must be a multiple of {self.min_block}")
+        # reciprocal of the step_front_i16 guard: an int16-ingest chain's
+        # kernel applies the 2**-15 count scale, so normalized complex input
+        # here would come out attenuated 32768x with no error
+        assert not self.cfg.int16_ingest, (
+            "chain built with int16_ingest=True: feed int16 count planes via "
+            "step_i16/step_front_i16, not normalized complex input")
         pw = None
         if self.fused is not None:
             fst = {"acc": fstate["nco"], "tail": fstate["decim"][0]}
@@ -257,9 +267,14 @@ class RxChain:
         notch_state = state.get("notch", ())
         if self.notch:
             sel, notch_state = self.notch(state["notch"], sel)
+        vad_state = state.get("vad", ())
+        voice = None
+        if self.vad:
+            # flags computed on the same signal NR sees (post-filter/notch)
+            voice, vad_state = self.vad(state["vad"], sel)
         nr_state = state.get("nr", ())
         if self.nr:
-            sel, nr_state = self.nr(state["nr"], sel)
+            sel, nr_state = self.nr(state["nr"], sel, voice=voice)
         cw_word = jnp.full(mode.shape[0], self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
             state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
@@ -282,6 +297,8 @@ class RxChain:
         # power_in may come from a (1, T) iq broadcast; report per channel
         aux = {"agc_gain_last": agc_gain[:, -1],
                "power_in": jnp.broadcast_to(power_in, mode.shape).astype(jnp.float32)}
+        if voice is not None:
+            aux["vad_active"] = voice  # (C, F) per-frame flags
         if cfg.emit_spectrum:
             lines, spec_prev = self.spectrum(state["spec"], x)
             aux["spectrum"] = lines
@@ -296,6 +313,7 @@ class RxChain:
             "nr": nr_state,
             "notch": notch_state,
             "squelch": sq_state,
+            "vad": vad_state,
             "deemph": deemph_state,
         }
         return new_state, audio, aux

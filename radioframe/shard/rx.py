@@ -149,7 +149,25 @@ class ShardedRxChain:
             sel = sel.reshape(Cn, Tn).astype(jnp.complex64)
             notch_state = new_ema
 
-        # spectral NR: minimum statistics over the GLOBAL block (pmin)
+        # VAD: minimum-statistics quiet floor over the GLOBAL block (pmin);
+        # per-frame flags stay local (frames are time-sharded)
+        vad_state = ()
+        voice = None
+        if chain.vad:
+            nf = chain.vad.nfft
+            Cv, Tv = sel.shape
+            Xv = jnp.fft.fft(sel.reshape(Cv, Tv // nf, nf), axis=-1)
+            pv = jnp.abs(Xv).astype(jnp.float32) ** 2 + 1e-12
+            energy = jnp.mean(pv, axis=-1)  # (C, F_loc)
+            gmin_e = lax.pmin(jnp.min(energy, axis=-1), ta)
+            new_floor = jnp.minimum(state["vad"] * chain.vad.up, gmin_e)
+            flat = jnp.exp(jnp.mean(jnp.log(pv), axis=-1)) / energy
+            voice = ((energy > chain.vad.ratio * new_floor[:, None])
+                     & (flat < chain.vad.flat_max))
+            vad_state = new_floor
+
+        # spectral NR: minimum statistics over the GLOBAL block (pmin);
+        # voice-active frames excluded from the estimate update (VAD gating)
         nr_state = ()
         if chain.nr:
             nf = chain.nr.nfft
@@ -157,9 +175,18 @@ class ShardedRxChain:
             X = jnp.fft.fft(sel.reshape(Cn, Tn // nf, nf), axis=-1)
             mag = jnp.abs(X).astype(jnp.float32)
             F_tot = (Tn // nf) * D
-            gmin = lax.pmin(jnp.min(mag, axis=1), ta)
-            est = jnp.minimum(state["nr"] * chain.nr.up,
-                              gmin * (chain.nr.bias * float(np.sqrt(F_tot))))
+            if voice is None:
+                gmin = lax.pmin(jnp.min(mag, axis=1), ta)
+                est = jnp.minimum(state["nr"] * chain.nr.up,
+                                  gmin * (chain.nr.bias * float(np.sqrt(F_tot))))
+            else:
+                inf = jnp.float32(np.inf)
+                loc_min = jnp.min(jnp.where(voice[:, :, None], inf, mag), axis=1)
+                gmin = lax.pmin(loc_min, ta)
+                n_quiet = lax.psum(jnp.sum((~voice).astype(jnp.int32), axis=1), ta)
+                cand = jnp.minimum(state["nr"] * chain.nr.up,
+                                   gmin * (chain.nr.bias * float(np.sqrt(F_tot))))
+                est = jnp.where((n_quiet > 0)[:, None], cand, state["nr"])
             gain_nr = jnp.clip(1.0 - chain.nr.beta * est[:, None, :] / jnp.maximum(mag, 1e-9),
                                chain.nr.floor, 1.0)
             sel = jnp.fft.ifft(X * gain_nr, axis=-1).reshape(Cn, Tn).astype(jnp.complex64)
@@ -252,6 +279,8 @@ class ShardedRxChain:
             "agc_gain_last": last_shard_value(gain[:, -1], ta),
             "power_in": jnp.broadcast_to(pw, mode.shape).astype(jnp.float32),
         }
+        if voice is not None:
+            aux["vad_active"] = voice  # (C, F_loc) — frames time-sharded
         spec_prev = state["spec"]
         if cfg.emit_spectrum:
             if cfg.spectrum_avg > 0.0:
@@ -277,6 +306,7 @@ class ShardedRxChain:
             "agc": new_agc,
             "spec": spec_prev,
             "nb": nb_state, "nr": nr_state, "notch": notch_state,
+            "vad": vad_state,
             "squelch": sq_state,
             "deemph": deemph_state,
         }
@@ -299,6 +329,7 @@ class ShardedRxChain:
             "spec": P(ca, None),
             "nb": P(ca) if self.chain.nb else (),
             "nr": P(ca, None) if self.chain.nr else (),
+            "vad": P(ca) if self.chain.vad else (),
             "notch": P(ca, None) if self.chain.notch else (),
             "squelch": P(ca) if self.chain.cfg.squelch_enabled else (),
             "deemph": (tuple(P(ca, None) for _ in self.chain.deemph.sections)
@@ -309,6 +340,8 @@ class ShardedRxChain:
         ca, ta = self.ca, self.ta
         sspec = self._state_specs()
         aux_spec = {"agc_gain_last": P(ca), "power_in": P(ca)}
+        if self.chain.vad:
+            aux_spec["vad_active"] = P(ca, ta)
         if self.chain.cfg.emit_spectrum:
             aux_spec["spectrum"] = P(ca, ta, None)
         fn = jax.shard_map(

@@ -143,3 +143,61 @@ class TestChainIntegration:
         for b in np.split(iq, 2):
             st, audio, _ = step(st, jnp.asarray(b[None, :], jnp.complex64), words, mode)
         assert np.all(np.isfinite(np.asarray(audio)))
+
+
+class TestVadGating:
+    """VAD gates SpectralNR's noise-estimate update (VERDICT r2 ask #7,
+    `[U:vad.c]` semantics: speech must not be learned as noise)."""
+
+    def test_all_voice_freezes_estimate(self, rng):
+        nr = SpectralNR(nfft=128)
+        est = jnp.asarray(0.02 * np.ones((1, 128), np.float32))
+        x = jnp.asarray((np.exp(2j * np.pi * 0.1 * np.arange(1024))
+                         ).astype(np.complex64)[None, :])
+        voice_all = jnp.ones((1, 8), bool)
+        _, est_frozen = nr(est, x, voice=voice_all)
+        np.testing.assert_array_equal(np.asarray(est_frozen), np.asarray(est))
+        # ungated on the same input: the estimate moves (grows by `up` or
+        # re-minimizes) — proves the freeze came from the gate
+        _, est_free = nr(est, x)
+        assert not np.array_equal(np.asarray(est_free), np.asarray(est))
+
+    def test_voice_frames_excluded_from_min(self, rng):
+        """A loud voice burst in half the frames must not drag the noise
+        estimate UP (ungated min-statistics is immune to that too), and —
+        the real hazard — a QUIET voice pause learned correctly while the
+        estimate ignores flagged frames whose floor is lower."""
+        nr = SpectralNR(nfft=128)
+        est0 = nr.init_state(1)
+        n = 8 * 128
+        noise = (0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+                 ).astype(np.complex64)
+        x = noise.copy()
+        x[: n // 2] += np.exp(2j * np.pi * 0.11 * np.arange(n // 2)).astype(np.complex64)
+        voice = jnp.asarray(np.r_[np.ones(4, bool), np.zeros(4, bool)][None, :])
+        _, est_gated = nr(est0, jnp.asarray(x[None, :]), voice=voice)
+        # gated estimate ~ noise-only level IN AGGREGATE (per-bin min over 4
+        # vs 8 frames differs by sampling noise; compare the mean level) and,
+        # the actual hazard, the carrier bin must NOT have been learned
+        _, est_noise = nr(est0, jnp.asarray(noise[None, :]))
+        g, n_ = np.asarray(est_gated), np.asarray(est_noise)
+        assert 0.5 < g.mean() / n_.mean() < 3.0, (g.mean(), n_.mean())
+        carrier_bin = int(round(0.11 * 128))
+        assert g[0, carrier_bin] < 0.1 * 128 * 1.0  # << the burst magnitude
+
+    def test_chain_emits_vad_and_runs(self, rng):
+        cfg = RxConfig(channels=2, nr_enabled=True, vad_enabled=True)
+        chain = RxChain(cfg)
+        n = 2 * chain.min_block
+        iq, _ = FX.ssb_capture(FS, n, 37_000.0)
+        words = jnp.asarray(nco.freq_word(np.asarray([37_000.0, -20_000.0]), FS))
+        mode = jnp.asarray([demod_op.SSB, demod_op.AM], jnp.int32)
+        st = chain.init_state(2)
+        assert "vad" in st and st["vad"].shape == (2,)
+        step = jax.jit(chain.step)
+        iq2 = np.broadcast_to(iq, (2, n))
+        for b in np.split(iq2, 2, axis=-1):
+            st, audio, aux = step(st, jnp.asarray(b, jnp.complex64), words, mode)
+        assert "vad_active" in aux and aux["vad_active"].dtype == bool
+        assert aux["vad_active"].shape[0] == 2
+        assert np.all(np.isfinite(np.asarray(audio)))

@@ -129,10 +129,11 @@ def test_explicit_device_placement():
 
 
 def test_sharded_with_fighters_and_ema_spectrum():
-    """NB+NR+notch and EMA waterfall all shard: sharded == unsharded."""
+    """NB+NR+notch+VAD and EMA waterfall all shard: sharded == unsharded."""
     C = 4
     cfg = RxConfig(channels=C, ols_hop=512, emit_spectrum=True, spectrum_avg=0.7,
-                   nb_enabled=True, nr_enabled=True, notch_enabled=True)
+                   nb_enabled=True, nr_enabled=True, notch_enabled=True,
+                   vad_enabled=True)
     chain = RxChain(cfg)
     mesh = jax.make_mesh((2, 4), ("channel", "time"), devices=jax.devices())
     sharded = ShardedRxChain(chain, mesh)
@@ -153,6 +154,10 @@ def test_sharded_with_fighters_and_ema_spectrum():
     dspec = np.abs(np.asarray(got_aux["spectrum"]) - np.asarray(ref_aux["spectrum"]))
     assert np.mean(dspec > 0.06) < 0.01 and dspec.max() < 1.0, (np.mean(dspec > 0.06), dspec.max())
     np.testing.assert_allclose(np.asarray(got_st["nr"]), np.asarray(ref_st["nr"]), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_st["vad"]), np.asarray(ref_st["vad"]), rtol=2e-3)
+    # per-frame voice flags identical (booleans; threshold flips would show)
+    np.testing.assert_array_equal(np.asarray(got_aux["vad_active"]),
+                                  np.asarray(ref_aux["vad_active"]))
     np.testing.assert_allclose(np.asarray(got_st["notch"]), np.asarray(ref_st["notch"]), rtol=2e-3)
     np.testing.assert_allclose(np.asarray(got_st["nb"]), np.asarray(ref_st["nb"]), rtol=5e-3)
     dsp = np.abs(np.asarray(got_st["spec"]) - np.asarray(ref_st["spec"]))
