@@ -64,6 +64,44 @@ def ldpc_encode(H: np.ndarray, msg: np.ndarray) -> np.ndarray:
     return np.concatenate([msg, parity], axis=-1)
 
 
+def gf2_inv(M: np.ndarray) -> np.ndarray:
+    """Inverse of a square GF(2) matrix via Gauss-Jordan (raises if singular)."""
+    M = np.asarray(M, dtype=np.uint8)
+    n = M.shape[0]
+    assert M.shape == (n, n)
+    A = np.concatenate([M.copy(), np.eye(n, dtype=np.uint8)], axis=1)
+    for col in range(n):
+        piv = col + int(np.argmax(A[col:, col]))
+        if A[piv, col] == 0:
+            raise ValueError("matrix is singular over GF(2)")
+        if piv != col:
+            A[[col, piv]] = A[[piv, col]]
+        rows = np.nonzero(A[:, col])[0]
+        rows = rows[rows != col]
+        A[rows] ^= A[col]
+    return A[:, n:]
+
+
+def ldpc_encode_general(H: np.ndarray, msg: np.ndarray,
+                        hp_inv: np.ndarray | None = None) -> np.ndarray:
+    """Encode against an ARBITRARY systematic-layout H = [H_m | H_p]
+    (parity columns last, H_p invertible): solve H_p p = H_m m over GF(2).
+
+    Used when a real (non-staircase) parity matrix is loaded from
+    radioframe/data/ — e.g. the published FT8 LDPC(174,91) table. Pass a
+    precomputed ``hp_inv = gf2_inv(H[:, n_msg:])`` to amortize the solve.
+    """
+    msg = np.asarray(msg, dtype=np.uint8)
+    n_par = H.shape[0]
+    n_msg = H.shape[1] - n_par
+    assert msg.shape[-1] == n_msg
+    if hp_inv is None:
+        hp_inv = gf2_inv(H[:, n_msg:])
+    s = (msg @ H[:, :n_msg].T) & 1
+    parity = (s @ hp_inv.T) & 1
+    return np.concatenate([msg, parity], axis=-1).astype(np.uint8)
+
+
 def ldpc_check(H: np.ndarray, cw: np.ndarray) -> np.ndarray:
     """Syndrome == 0 per codeword (..., n) -> bool (...)."""
     return (((np.asarray(cw, np.uint8) @ H.T) & 1) == 0).all(axis=-1)

@@ -52,6 +52,21 @@ TONE_HZ = 6.25
 
 # Deterministic stand-in LDPC(174,91) — staircase construction (see header)
 H = fec.ldpc_staircase(N_INFO, N_CODED - N_INFO, col_weight=3, seed=174091)
+_HP_INV = None  # set iff a real (non-staircase) H is loaded below
+
+# Verified-table drop-in (VERDICT r2 ask #5): when radioframe/data/
+# ft8_tables.npz exists (schema in radioframe/data/__init__.py), the
+# published tables replace the stand-ins and the provisional flag clears —
+# a pure data commit, validated at import (shape + GF(2) invertibility).
+from radioframe import data as _data
+
+_tables = _data.ft8_tables()
+if _tables is not None:
+    H = _tables["ldpc_h"]
+    _HP_INV = _tables["hp_inv"]
+    CRC_POLY = _tables["crc_poly"]
+    INTEROP_PROVISIONAL = False
+    PROVISIONAL_ITEMS = ()
 
 _DATA_POS = np.asarray([i for i in range(N_SYM) if not (i < 7 or 36 <= i < 43 or i >= 72)])
 _SYNC_POS = np.asarray([i for i in range(N_SYM) if (i < 7 or 36 <= i < 43 or i >= 72)])
@@ -163,7 +178,9 @@ def encode_symbols(call_to: str, call_de: str, grid: str) -> np.ndarray:
     c = crc14(msg)
     crc_bits = np.asarray([(c >> (N_CRC - 1 - i)) & 1 for i in range(N_CRC)], np.uint8)
     info = np.concatenate([msg, crc_bits])  # 91
-    cw = fec.ldpc_encode(H, info)  # 174
+    # staircase H encodes by prefix-XOR; a loaded real H by GF(2) solve
+    cw = (fec.ldpc_encode_general(H, info, _HP_INV) if _HP_INV is not None
+          else fec.ldpc_encode(H, info))  # 174
     tones = np.zeros(N_SYM, dtype=np.int64)
     tones[_SYNC_POS] = np.tile(COSTAS, 3)
     vals = cw.reshape(N_DATA_SYM, 3) @ np.array([4, 2, 1])

@@ -54,6 +54,17 @@ def _lfsr_bits(n: int, seed: int = 0xACE1, taps: int = 0xB400) -> np.ndarray:
 # PROVISIONAL stand-in for the published 162-bit WSPR sync vector (see header)
 SYNC = _lfsr_bits(N_SYM)
 
+# Verified-table drop-in (VERDICT r2 ask #5): radioframe/data/
+# wspr_tables.npz, schema in radioframe/data/__init__.py — the published
+# sync vector replaces the stand-in and the provisional flag clears.
+from radioframe import data as _data
+
+_tables = _data.wspr_tables()
+if _tables is not None:
+    SYNC = _tables["sync"]
+    INTEROP_PROVISIONAL = False
+    PROVISIONAL_ITEMS = ()
+
 _ALNUM = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ "
 
 

@@ -28,6 +28,9 @@ class ChannelizerConfig:
     cw_tone_hz: float = 600.0
     nfm_deviation_hz: float = 2500.0
     spectrum_nfft: int = 4096
+    # EMA waterfall averaging across frames (0 = raw lines), like
+    # RxConfig.spectrum_avg; completed across time shards when sharded
+    spectrum_avg: float = 0.0
     emit_spectrum: bool = True
 
     @property
@@ -41,7 +44,7 @@ class ChannelizerChain:
     def __init__(self, cfg: ChannelizerConfig):
         self.cfg = cfg
         self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
-        self.spectrum = Spectrum(cfg.spectrum_nfft)
+        self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
         n_modes = demod_op.SAM + 1
         mode_cfgs = cfg.agc_modes if cfg.agc_modes is not None else (cfg.agc,) * n_modes
         self.agc_bank = agc_op.AgcBank(mode_cfgs, cfg.fs_channel)

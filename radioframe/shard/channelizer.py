@@ -25,7 +25,7 @@ from jax.sharding import PartitionSpec as P
 from radioframe.ops import agc as agc_op
 from radioframe.ops import demod as demod_op
 from radioframe.pipelines.channelizer import ChannelizerChain
-from radioframe.shard.halo import causal_halo
+from radioframe.shard.halo import causal_halo, last_shard_value, sharded_affine_scan
 
 
 class ShardedChannelizer:
@@ -35,6 +35,10 @@ class ShardedChannelizer:
         self.axis = axis
         D = mesh.shape[axis]
         assert chain.cfg.num_channels % D == 0
+        if chain.cfg.emit_spectrum and chain.cfg.spectrum_avg > 0.0:
+            from radioframe.ops.spectrum import Spectrum
+
+            self._raw_spec = Spectrum(chain.cfg.spectrum_nfft, 0.0)
 
     def _local_step(self, state, wideband, mode):
         chain, cfg, ax = self.chain, self.chain.cfg, self.axis
@@ -63,7 +67,19 @@ class ShardedChannelizer:
         aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
         spec_prev = state["spec"]
         if cfg.emit_spectrum:
-            lines, _ = chain.spectrum(state["spec"], x)
+            if cfg.spectrum_avg > 0.0:
+                # EMA waterfall: raw dB lines locally, then the affine scan
+                # completed across time shards (same as shard/rx.py)
+                db, _ = self._raw_spec(state["spec"], x)  # (1, F_loc, nfft)
+                _, Fl, nf = db.shape
+                b = (1.0 - cfg.spectrum_avg) * jnp.moveaxis(db, 1, -1).reshape(nf, Fl)
+                lines_flat, prev_flat = sharded_affine_scan(
+                    cfg.spectrum_avg, b, state["spec"].reshape(nf), ax)
+                lines = jnp.moveaxis(lines_flat.reshape(1, nf, Fl), -1, 1)
+                spec_prev = prev_flat.reshape(1, nf)
+            else:
+                lines, _ = chain.spectrum(state["spec"], x)
+                spec_prev = last_shard_value(lines[:, -1, :], ax)
             aux["waterfall"] = lines[0]  # (F_spec_loc, nfft), time-sharded
         new_state = {"pfb": pfb_carry, "demod": demod_state, "agc": agc_env,
                      "spec": spec_prev}

@@ -21,6 +21,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full-coverage mode)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (interpret-mode Pallas sharding, 4096-channel "
+        "scale, digital modes); excluded by default so the default suite fits "
+        "a CI budget — enable with --runslow or RADIOFRAME_RUNSLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RADIOFRAME_RUNSLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow: pass --runslow (or RADIOFRAME_RUNSLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

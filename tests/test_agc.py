@@ -25,6 +25,7 @@ class TestSlidingMax:
 
 
 class TestGoldenAgcFull:
+    @pytest.mark.slow
     def test_streaming_matches_whole(self, rng):
         x = rng.standard_normal(400)
         whole, _, _ = G.agc_full(x, 0.99, attack_alpha=0.9, hang_samples=17)
@@ -71,6 +72,7 @@ class TestAgcBank:
             np.testing.assert_allclose(np.asarray(y)[c], want, atol=2e-5,
                                        err_msg=f"mode {k}")
 
+    @pytest.mark.slow
     def test_streaming_matches_whole(self, rng):
         bank, _ = self._bank()
         C, T = 6, 600
@@ -122,6 +124,7 @@ class TestAgcBank:
         assert 0.5 < frac < 0.75, frac
 
 
+@pytest.mark.slow
 class TestShardedPerModeAgc:
     def test_sharded_matches_unsharded_with_agc_modes(self, rng):
         """Full RX chain with DEFAULT_AGC_MODES: (2,4) mesh == unsharded.

@@ -65,6 +65,7 @@ class TestRadioApi:
 
 
 class TestCheckpointResume:
+    @pytest.mark.slow
     def test_bit_exact_stream_resume(self, tmp_path):
         from radioframe.api.radio import Radio
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import signal
 
 from radioframe.ops.biquad import Biquad, BiquadCascade
@@ -28,6 +29,7 @@ def test_cascade_vs_scipy(rng):
         np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_streaming_state(rng):
     sos = signal.butter(4, 0.1, output="sos")
     casc = BiquadCascade(sos)
@@ -41,6 +43,7 @@ def test_streaming_state(rng):
     np.testing.assert_allclose(np.concatenate(outs, -1), np.asarray(whole), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestMicEq:
     """TX mic equalizer (reference TX EQ bands) wired through ops/biquad."""
 
@@ -77,6 +80,7 @@ class TestMicEq:
         want = signal.sosfilt(sos, a0, axis=-1)
         np.testing.assert_allclose(a1, want, atol=1e-4)
 
+    @pytest.mark.slow
     def test_sharded_eq_matches_unsharded(self, rng):
         from radioframe.ops import demod as demod_op
         from radioframe.shard.tx import ShardedTxChain
@@ -124,6 +128,7 @@ class TestNfmDeemphasis:
             else:  # other modes untouched
                 np.testing.assert_array_equal(a1[c], a0[c])
 
+    @pytest.mark.slow
     def test_sharded_deemph_matches_unsharded(self, rng):
         from radioframe.core.config import RxConfig
         from radioframe.ops import demod as demod_op

@@ -114,6 +114,7 @@ class TestShardedChannelizer:
         np.testing.assert_allclose(np.asarray(got_st["pfb"]), np.asarray(ref_st["pfb"]),
                                    atol=1e-5)
 
+    @pytest.mark.slow
     def test_config5_full_scale_4096_channels(self, rng):
         """BASELINE config 5 at its TRUE scale: M=4096 channels on the
         8-device mesh, sharded == unsharded, plus per-channel AGC/demod and
@@ -145,8 +146,13 @@ class TestShardedChannelizer:
                                    np.asarray(ref_st["agc"]["env"]), atol=2e-4)
 
     def test_sharded_streaming(self, rng):
+        """Multi-block streaming: pfb/demod/AGC carry handoff AND the EMA
+        waterfall's cross-shard affine-scan completion, sharded == unsharded
+        (VERDICT r2 ask #8)."""
         M, D = 32, 4
-        cfg = ChannelizerConfig(fs_in=32_000.0 * M, num_channels=M, emit_spectrum=False)
+        cfg = ChannelizerConfig(fs_in=32_000.0 * M, num_channels=M,
+                                emit_spectrum=True, spectrum_nfft=256,
+                                spectrum_avg=0.7)
         chain = ChannelizerChain(cfg)
         mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
         sharded = ShardedChannelizer(chain, mesh)
@@ -155,18 +161,32 @@ class TestShardedChannelizer:
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
 
         st = chain.init_state()
-        ref = []
+        ref, ref_wf = [], []
         step = jax.jit(chain.step)
         for b in np.split(wide, 2):
-            st, a, _ = step(st, jnp.asarray(b), mode)
+            st, a, aux = step(st, jnp.asarray(b), mode)
             ref.append(np.asarray(a))
+            ref_wf.append(np.asarray(aux["waterfall"]))
+        ref_st = st
         ref = np.concatenate(ref, axis=-1)
         st = chain.init_state()
-        got = []
+        got, got_wf = [], []
         sstep = jax.jit(sharded.step)
         for b in np.split(wide, 2):
-            st, a, _ = sstep(st, jnp.asarray(b), mode)
+            st, a, aux = sstep(st, jnp.asarray(b), mode)
             got.append(np.asarray(a))
+            got_wf.append(np.asarray(aux["waterfall"]))
         got = np.concatenate(got, axis=-1)
         W = chain.pfb.K  # PFB warm-up frames (see note above)
         np.testing.assert_allclose(got[:, W:], ref[:, W:], atol=2e-4)
+        # EMA waterfall lines agree across the stream (block 2 depends on
+        # block 1's carried EMA state — the handoff under sharding)
+        np.testing.assert_allclose(np.concatenate(got_wf),
+                                   np.concatenate(ref_wf), atol=1e-2)
+        # end-of-stream state parity: every carried leaf
+        np.testing.assert_allclose(np.asarray(st["pfb"]),
+                                   np.asarray(ref_st["pfb"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st["spec"]),
+                                   np.asarray(ref_st["spec"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(st["agc"]["env"]),
+                                   np.asarray(ref_st["agc"]["env"]), atol=2e-4)

@@ -17,6 +17,8 @@ FT8_FS, FT8_SPS, FT8_F0 = 3200.0, 512, 800.0
 WSPR_FS, WSPR_SPS, WSPR_F0 = 1500.0, 1024, 400.0
 
 
+pytestmark = pytest.mark.slow  # digital modes: long-running, gated by --runslow
+
 class TestFec:
     def test_ldpc_encode_satisfies_checks(self):
         rng = np.random.default_rng(0)

@@ -84,6 +84,7 @@ class TestAdcRateDuc:
         spur = p[np.abs(f - f[k]) > 5_000.0].max()
         assert 10 * np.log10(p[k] / spur) > 40.0, 10 * np.log10(p[k] / spur)
 
+    @pytest.mark.slow
     def test_streaming_matches_oneshot(self, rng):
         tx = self._tx(C=2)
         Ta = 2 * 512
@@ -99,6 +100,7 @@ class TestAdcRateDuc:
         got = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=2e-4)
 
+    @pytest.mark.slow
     def test_sharded_matches_unsharded_at_adc_rate(self, rng):
         """Time+channel-sharded ADC-rate DUC == unsharded (config 4 at rate)."""
         from radioframe.shard.tx import ShardedTxChain

@@ -3,6 +3,7 @@ corrupted input blocks; recovery = checkpoint restart. The stream keeps
 running and audio quality recovers after the fault clears."""
 
 import numpy as np
+import pytest
 
 from radioframe.api.radio import Radio
 from radioframe.core.config import RxConfig
@@ -38,6 +39,7 @@ def test_dropped_block_recovers():
     assert np.all(np.isfinite(np.concatenate(outs, axis=-1)))
 
 
+@pytest.mark.slow
 def test_corrupt_block_does_not_poison_stream():
     """A NaN-corrupted block must not leave NaNs in subsequent state/audio
     after a checkpoint restore (the firmware-watchdog-reset analog)."""

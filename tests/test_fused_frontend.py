@@ -61,6 +61,7 @@ class TestFusedFrontend:
         _, got = fus.step(fus.init_state(C), x, words)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
+    @pytest.mark.slow
     def test_chain_flag_parity(self, rng):
         """RxChain(fuse_frontend=True) == the unfused chain, multi-block."""
         base = dict(fs_in=192_000.0, channels=4,
@@ -103,6 +104,7 @@ class TestFusedFrontend:
                                       np.asarray(y_full)[:, fus.J0:])
 
     @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    @pytest.mark.slow
     def test_sharded_fused_rdma_halo_matches_ppermute(self, rng, mesh_shape):
         """halo_transport='rdma' (Pallas make_async_remote_copy + linearity
         overlap) == the ppermute transport, streaming across blocks."""
@@ -133,6 +135,7 @@ class TestFusedFrontend:
                                    np.asarray(st_p["decim"][0]), atol=1e-6)
 
     @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    @pytest.mark.slow
     def test_sharded_fused_matches_unsharded_fused(self, rng, mesh_shape):
         """Time-sharded fused front end (raw-IQ halo + accumulator offset)
         reproduces the unsharded fused chain across block boundaries."""
@@ -170,6 +173,7 @@ class TestFusedFrontend2:
     """v2 kernel: scratch-carried history + optional fused stage 2
     (kernels/fused_frontend2.py)."""
 
+    @pytest.mark.slow
     def test_two_stage_matches_composed(self, rng):
         from radioframe.kernels.fused_frontend2 import FusedFrontend2
 
@@ -212,6 +216,7 @@ class TestFusedFrontend2:
             s2, bb = f2.step(s2, b, words)
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=3e-6)
 
+    @pytest.mark.slow
     def test_chain_depth2_parity(self, rng):
         """RxChain(fuse_frontend_depth=2) == unfused chain, 3-stage plan
         (the ADC preset shape: the third, non-pow2 stage stays unfused)."""
@@ -236,6 +241,7 @@ class TestFusedFrontend2:
             np.testing.assert_allclose(np.asarray(a_f2), np.asarray(a_ref), atol=2e-4)
 
     @pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4)])
+    @pytest.mark.slow
     def test_sharded_depth2_matches_unsharded(self, rng, mesh_shape):
         from radioframe.shard.rx import ShardedRxChain
 
@@ -279,6 +285,7 @@ class TestInt16Ingest:
                                   int16_ingest=True))
         return ch_f32, ch_i16
 
+    @pytest.mark.slow
     def test_matches_f32_on_quantized_signal(self, rng):
         ch_f32, ch_i16 = self._chains()
         C = 4

@@ -42,6 +42,7 @@ def test_sharded_tx_matches_unsharded(mesh_shape):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_tx_streaming():
     C = 2
     chain = TxChain(TxConfig(channels=C))

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from radioframe.ops import ft8
 from radioframe.ops.pfb import PfbChannelizer
 
+pytestmark = pytest.mark.slow  # digital modes: long-running, gated by --runslow
+
 M = 32                    # channels; fs_ch = 12 kHz = FT8 native rate
 FS_CH = 12_000.0
 FS_WIDE = M * FS_CH       # 384 kHz wideband

@@ -7,6 +7,7 @@ property that replaces on-air testing)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radioframe.core.config import RxConfig, TxConfig
 from radioframe.diag.metrics import audio_snr_db
@@ -85,6 +86,7 @@ class TestDuplexLoopback:
         snr = audio_snr_db(ref[settle:], out[settle:], trim=1024)
         assert snr > 25.0, f"SSB loopback SNR {snr:.1f} dB"
 
+    @pytest.mark.slow
     def test_am_loopback(self):
         n = 96 * 2048 // 4
         t = np.arange(n) / FS_AUDIO
@@ -94,6 +96,7 @@ class TestDuplexLoopback:
         snr = audio_snr_db(audio[settle:], out[settle:], trim=1024)
         assert snr > 15.0, f"AM loopback SNR {snr:.1f} dB"
 
+    @pytest.mark.slow
     def test_nfm_loopback(self):
         n = 96 * 2048 // 4
         t = np.arange(n) / FS_AUDIO
