@@ -76,12 +76,21 @@ def bench_adc_rate():
 
 def bench_channelizer():
     """Config-5 dataflow: 61.44 Msps wideband -> 4096-channel PFB ->
-    per-channel demod/AGC + waterfall. Returns wideband samples/s/chip."""
+    per-channel demod/AGC + waterfall. Returns wideband samples/s/chip.
+
+    Round-3 formulation (ROADMAP round-3 log): planes shifted-add PFB with
+    contiguous-axis FFT, fused masked-sum demod select, and the waterfall
+    derived from the PFB output (prototype-windowed periodogram, 16-frame
+    power averaging) — the panorama rides the FFT work already paid.
+    iters=128: the ~25 ms axon round trip is per DISPATCH (not per
+    iteration; tools/probe_floor.py), so 128 in-loop blocks cut the floor
+    from 0.78 to 0.2 ms/block."""
     from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 
-    M, iters = 4096, 32
+    M, iters = 4096, 128
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
-                            emit_spectrum=True, spectrum_nfft=4096)
+                            emit_spectrum=True, waterfall_from_pfb=True,
+                            waterfall_frame_avg=16)
     chain = ChannelizerChain(cfg)
     # big blocks amortize the dispatch floor: measured 84 Msps at
     # 4x min_block -> 694 Msps at 128x (1024 frames/channel, 32 MB block)

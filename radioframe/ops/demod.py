@@ -180,9 +180,18 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     y_am, am_dc = demod_am(state["am_dc"], x)
     y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
     y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
-    # LSB demod is the same 2*Re after its (negative-band) mode filter
-    stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # (6, C, T)
-    sel = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+    # LSB demod is the same 2*Re after its (negative-band) mode filter.
+    # Selection by masked SUM, not stack + take_along_axis: exactly one mask
+    # is hot per channel so the result is bit-identical, but the wheres fuse
+    # into the demod arithmetic — no (6, C, T) array is ever materialized.
+    # At the 4096-channel channelizer's rate that measured 1.03 -> 0.52
+    # ms/block for bank+AGC (tools/probe_chanopt.py, floor-corrected).
+    m = mode[:, None]
+    sel = (jnp.where((m == SSB) | (m == LSB), y_ssb, 0.0)
+           + jnp.where(m == CW, y_cw, 0.0)
+           + jnp.where(m == AM, y_am, 0.0)
+           + jnp.where(m == NFM, y_nfm, 0.0)
+           + jnp.where(m == SAM, y_sam, 0.0))
     new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last,
                  "sam_dc": sam_dc, "sam_carrier": sam_carrier}
     return sel.astype(jnp.float32), new_state

@@ -26,11 +26,8 @@ class PfbChannelizer:
         self.M = int(num_channels)
         self.K = int(taps_per_channel)
         proto = pfb_prototype_taps(self.M, self.K, window)
-        h = proto.reshape(self.K, self.M).astype(np.float32)
-        # depthwise conv kernel over the frame axis, one group per phase:
-        # u[m, p] = sum_t h[t, p] * xf[m - t, p]  ->  rhs (M, 1, K), taps
-        # reversed for correlation form
-        self._rhs = np.ascontiguousarray(h[::-1].T)[:, None, :]  # (M, 1, K)
+        # (K, M) tap rows, frame t of the polyphase accumulation
+        self._h = np.ascontiguousarray(proto.reshape(self.K, self.M).astype(np.float32))
 
     def init_state(self, batch: int = 1):
         return jnp.zeros((batch, (self.K - 1) * self.M), dtype=jnp.complex64)
@@ -40,24 +37,34 @@ class PfbChannelizer:
 
         T must be a multiple of M; F = T // M output frames per channel.
         y[b, c, f] is channel c's stream at rate fs/M.
+
+        Formulation (TPU-tuned, round 3): the polyphase accumulation runs as
+        K shifted multiply-adds on separate f32 re/im planes in frame-major
+        (B, F, M) layout — XLA fuses all K terms into one VMEM pass — and the
+        M-point DFT then runs on the CONTIGUOUS last axis. The previous
+        depthwise grouped conv (M feature groups) + strided axis-1 FFT
+        measured 0.74 + strided-FFT ms/block at M=4096; this form measures
+        0.56 ms/block for the pair (tools/probe_chanopt.py, floor-corrected —
+        see ROADMAP round-3 log). One (B, M, F) transpose at the end keeps
+        the channel-major contract for the demod bank.
         """
         B, T = x.shape
         assert T % self.M == 0, f"block length {T} must be a multiple of M={self.M}"
         xp = jnp.concatenate([tail, x], axis=-1)  # (B, (K-1)*M + T)
         F = T // self.M
-        frames = xp.reshape(B, F + self.K - 1, self.M)  # (B, frames, M)
-        lhs = jnp.moveaxis(frames, -1, 1)  # (B, M, frames) — phases as features
-        rhs = jnp.asarray(self._rhs)
-
-        def depthwise(r):
-            return lax.conv_general_dilated(
-                r, rhs, window_strides=(1,), padding="VALID",
-                dimension_numbers=("NCH", "OIH", "NCH"),
-                feature_group_count=self.M, preferred_element_type=jnp.float32,
-            )
-
-        u = lax.complex(depthwise(jnp.real(lhs)), depthwise(jnp.imag(lhs)))  # (B, M, F)
+        K, M = self.K, self.M
+        frr = jnp.real(xp).reshape(B, F + K - 1, M)
+        fri = jnp.imag(xp).reshape(B, F + K - 1, M)
+        h = self._h
+        ur = jnp.zeros((B, F, M), jnp.float32)
+        ui = jnp.zeros((B, F, M), jnp.float32)
+        # u[f, p] = sum_t h[t, p] * frames[f + K-1-t, p] (type-1 polyphase)
+        for t in range(K):
+            w = h[t][None, None, :]
+            ur = ur + w * frr[:, K - 1 - t: K - 1 - t + F]
+            ui = ui + w * fri[:, K - 1 - t: K - 1 - t + F]
         # DFT across phases (type-1 polyphase -> channel c at +c*fs/M)
-        y = jnp.fft.fft(u, axis=1).astype(jnp.complex64)
+        y = jnp.fft.fft(lax.complex(ur, ui), axis=-1)  # (B, F, M), contiguous
+        y = jnp.moveaxis(y, -1, 1).astype(jnp.complex64)  # (B, M, F)
         new_tail = xp[:, xp.shape[-1] - (self.K - 1) * self.M:]
         return y, new_tail

@@ -67,7 +67,18 @@ class ShardedChannelizer:
         aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}
         spec_prev = state["spec"]
         if cfg.emit_spectrum:
-            if cfg.spectrum_avg > 0.0:
+            if cfg.waterfall_from_pfb:
+                # chans are channel-sharded with whole frame streams here, so
+                # each shard emits full-length lines for its M/D channels
+                # (out spec P(None, dev)); the global fftshift roll runs
+                # OUTSIDE shard_map in step() so sharded == unsharded exactly
+                A = cfg.waterfall_frame_avg
+                Ml, Fl = chans.shape
+                p = jnp.real(chans) ** 2 + jnp.imag(chans) ** 2
+                pa = p.reshape(Ml, Fl // A, A).mean(axis=-1)
+                db = 10.0 * jnp.log10(jnp.maximum(pa, 1e-24)).astype(jnp.float32)
+                aux["waterfall"] = db.T  # (F/A, M/D) channel-sharded, UNROLLED
+            elif cfg.spectrum_avg > 0.0:
                 # EMA waterfall: raw dB lines locally, then the affine scan
                 # completed across time shards (same as shard/rx.py)
                 db, _ = self._raw_spec(state["spec"], x)  # (1, F_loc, nfft)
@@ -77,30 +88,37 @@ class ShardedChannelizer:
                     cfg.spectrum_avg, b, state["spec"].reshape(nf), ax)
                 lines = jnp.moveaxis(lines_flat.reshape(1, nf, Fl), -1, 1)
                 spec_prev = prev_flat.reshape(1, nf)
+                aux["waterfall"] = lines[0]  # (F_spec_loc, nfft), time-sharded
             else:
                 lines, _ = chain.spectrum(state["spec"], x)
                 spec_prev = last_shard_value(lines[:, -1, :], ax)
-            aux["waterfall"] = lines[0]  # (F_spec_loc, nfft), time-sharded
+                aux["waterfall"] = lines[0]  # (F_spec_loc, nfft), time-sharded
         new_state = {"pfb": pfb_carry, "demod": demod_state, "agc": agc_env,
                      "spec": spec_prev}
         return new_state, audio, aux
 
     def _state_specs(self):
         ax = self.axis
+        cfg = self.chain.cfg
+        has_spec = cfg.emit_spectrum and not cfg.waterfall_from_pfb
         return {
             "pfb": P(None, None),  # replicated carry
             "demod": {"cw_phase": P(ax), "am_dc": P(None, ax), "nfm_last": P(ax),
                       "sam_dc": P(None, ax), "sam_carrier": P(None, ax)},
             "agc": {"hist": P(ax, None) if self.chain.agc_bank.hist_len else (),
                     "env": P(ax), "lpf": P(ax)},
-            "spec": P(None, None),
+            "spec": P(None, None) if has_spec else (),
         }
 
     def step(self, state, wideband, mode):
         ax = self.axis
+        cfg = self.chain.cfg
         aux_spec = {"channel_power": P(ax)}
-        if self.chain.cfg.emit_spectrum:
-            aux_spec["waterfall"] = P(ax, None)
+        if cfg.emit_spectrum:
+            # PFB-derived waterfall: frames whole, channels sharded;
+            # Spectrum waterfall: frames time-sharded, bins whole
+            aux_spec["waterfall"] = (P(None, ax) if cfg.waterfall_from_pfb
+                                     else P(ax, None))
         fn = jax.shard_map(
             self._local_step,
             mesh=self.mesh,
@@ -108,7 +126,13 @@ class ShardedChannelizer:
             out_specs=(self._state_specs(), P(ax, None), aux_spec),
             check_vma=False,
         )
-        return fn(state, wideband, mode)
+        state, audio, aux = fn(state, wideband, mode)
+        if cfg.emit_spectrum and cfg.waterfall_from_pfb:
+            # global fftshift (channel c at +c*fs/M -> low..high order),
+            # outside shard_map so the roll crosses shards correctly
+            aux["waterfall"] = jnp.roll(aux["waterfall"],
+                                        cfg.num_channels // 2, axis=-1)
+        return state, audio, aux
 
     def init_state(self):
         return self.chain.init_state()

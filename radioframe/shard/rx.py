@@ -236,8 +236,14 @@ class ShardedRxChain:
             jnp.mod(state["demod"]["sam_carrier"][0] + w_c * (D * Ta_loc),
                     jnp.float32(2.0 * np.pi)), w_c])
 
-        stacked = jnp.stack([y_ssb, y_cw, y_am, y_nfm, y_ssb, y_sam])  # [4]=LSB
-        audio = jnp.take_along_axis(stacked, mode[None, :, None].astype(jnp.int32), axis=0)[0]
+        # masked-sum select (exactly one mask hot per channel — bit-identical
+        # to a gather, but fuses; see ops/demod.py bank_apply note)
+        m_sel = mode[:, None]
+        audio = (jnp.where((m_sel == demod_op.SSB) | (m_sel == demod_op.LSB), y_ssb, 0.0)
+                 + jnp.where(m_sel == demod_op.CW, y_cw, 0.0)
+                 + jnp.where(m_sel == demod_op.AM, y_am, 0.0)
+                 + jnp.where(m_sel == demod_op.NFM, y_nfm, 0.0)
+                 + jnp.where(m_sel == demod_op.SAM, y_sam, 0.0))
         audio = audio.astype(jnp.float32)
 
         # NFM de-emphasis: dense cross-shard biquad, selected per channel

@@ -190,3 +190,51 @@ class TestShardedChannelizer:
                                    np.asarray(ref_st["spec"]), atol=1e-2)
         np.testing.assert_allclose(np.asarray(st["agc"]["env"]),
                                    np.asarray(ref_st["agc"]["env"]), atol=2e-4)
+
+
+class TestPfbWaterfall:
+    """waterfall_from_pfb: the PFB output IS the panorama (prototype-windowed
+    periodogram); lines must localize tones correctly and shard exactly."""
+
+    def test_tone_lands_in_its_bin(self, rng):
+        M = 64
+        cfg = ChannelizerConfig(fs_in=64_000.0 * M, num_channels=M,
+                                emit_spectrum=True, waterfall_from_pfb=True,
+                                waterfall_frame_avg=4)
+        chain = ChannelizerChain(cfg)
+        T = 8 * chain.min_block
+        c = 11  # tone centered on channel 11 (+c*fs/M)
+        t = np.arange(T) / cfg.fs_in
+        wide = (np.exp(2j * np.pi * (c * cfg.fs_in / M) * t)
+                + 0.01 * _wideband(rng, T)).astype(np.complex64)
+        st = chain.init_state()
+        assert st["spec"] == ()  # stateless waterfall: no dead leaf
+        _, _, aux = jax.jit(chain.step)(st, jnp.asarray(wide), 
+                                        jnp.zeros((M,), jnp.int32))
+        wf = np.asarray(aux["waterfall"])  # (F/avg, M) dB, low..high
+        assert wf.shape == (T // M // 4, M)
+        # lines are fftshift-rolled: channel c sits at column M//2 + c
+        peak_col = int(np.argmax(wf[-1]))
+        assert peak_col == (M // 2 + c) % M, (peak_col, M // 2 + c)
+        assert wf[-1, peak_col] - np.median(wf[-1]) > 20.0  # tone >> floor
+
+    def test_sharded_matches_unsharded(self, rng):
+        M, D = 64, 4
+        cfg = ChannelizerConfig(fs_in=64_000.0 * M, num_channels=M,
+                                emit_spectrum=True, waterfall_from_pfb=True,
+                                waterfall_frame_avg=4)
+        chain = ChannelizerChain(cfg)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        T = D * 2 * chain.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st = chain.init_state()
+        _, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        st2 = chain.init_state()
+        _, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        W = chain.pfb.K
+        np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
+                                   np.asarray(ref_audio)[:, W:], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
+                                   np.asarray(ref_aux["waterfall"]), atol=1e-2)

@@ -110,7 +110,8 @@ def _check(u):
 err = float(jax.jit(_check)(u_ri))
 print(f"dft_matmul max err vs jnp.fft: {err:.3e}  (scale ~{np.sqrt(M):.0f})")
 
-# -- 3. PFB conv only ---------------------------------------------------------
+# -- 3. PFB conv only (historical grouped-conv form) --------------------------
+from radioframe.ops.filter_design import pfb_prototype_taps
 from radioframe.ops.pfb import PfbChannelizer
 
 op = PfbChannelizer(M, K)
@@ -124,7 +125,8 @@ def run_conv_only(wb_ri, n):
         xp = jnp.concatenate([st, x[None, :]], axis=-1)
         fr = xp.reshape(1, F + K - 1, M)
         lhs = jnp.moveaxis(fr, -1, 1)
-        rhs = jnp.asarray(op._rhs)
+        h8 = pfb_prototype_taps(M, K).reshape(K, M).astype(np.float32)
+        rhs = jnp.asarray(np.ascontiguousarray(h8[::-1].T)[:, None, :])
 
         def depthwise(r):
             return lax.conv_general_dilated(
