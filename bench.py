@@ -90,7 +90,11 @@ def bench_channelizer():
     M, iters = 4096, 128
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
-                            waterfall_frame_avg=16)
+                            waterfall_frame_avg=16,
+                            # the bench population runs SSB/CW/AM/NFM; the
+                            # static mode subset (a config choice, like the
+                            # reference's mode menu) skips compiling SAM/LSB
+                            enabled_modes=(0, 1, 2, 3))
     chain = ChannelizerChain(cfg)
     # big blocks amortize the dispatch floor: measured 84 Msps at
     # 4x min_block -> 694 Msps at 128x (1024 frames/channel, 32 MB block)

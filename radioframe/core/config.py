@@ -123,6 +123,10 @@ class RxConfig:
     vad_enabled: bool = False
     vad_energy_ratio: float = 3.0
     vad_flatness_max: float = 0.5
+    # statically restrict which demods compile (None = all six; see
+    # ops/demod.py bank_apply): the reference's mode menu maps to config +
+    # cheap recompile, so unused demods cost nothing
+    enabled_modes: tuple | None = None
     # FM squelch (gates NFM audio on discriminator HF noise)
     squelch_enabled: bool = False
     squelch_threshold: float = 0.5

@@ -55,9 +55,14 @@ def init_state(num_channels: int):
 
 def apply(env0, x, decay: float, target: float = 1.0, max_gain: float = 1e4, eps: float = 1e-9):
     """Instant-attack / exp-release AGC. (env0 (C,), x (C, T)) -> (y, new_env, gain)."""
+    from radioframe.ops.scans import maxdecay_const_ok, maxdecay_scan_const
+
     mag = jnp.abs(x).astype(jnp.float32)
-    a = jnp.full_like(mag, jnp.float32(decay))
-    env = maxdecay_scan(a, mag, env0)
+    if maxdecay_const_ok([decay], mag.shape[-1]):
+        env = maxdecay_scan_const(jnp.full(mag.shape[:-1], jnp.float32(decay)),
+                                  mag, env0)
+    else:
+        env = maxdecay_scan(jnp.full_like(mag, jnp.float32(decay)), mag, env0)
     gain = jnp.minimum(jnp.float32(max_gain), jnp.float32(target) / jnp.maximum(env, jnp.float32(eps)))
     y = x * gain.astype(x.dtype)
     return y, env[:, -1], gain
@@ -149,14 +154,29 @@ class AgcBank:
 
     def apply(self, state, audio, mode):
         """(state, audio (C, T) f32, mode (C,) i32) -> (y, new_state, gain)."""
+        from radioframe.ops.scans import (affine_const_ok, affine_scan_const,
+                                          maxdecay_const_ok, maxdecay_scan_const)
+
         C, T = audio.shape
         mag = jnp.abs(audio).astype(jnp.float32)
         xp = jnp.concatenate([state["hist"], mag], axis=-1) if self.hist_len else mag
         m = self.hang_select(xp, T, mode)
         rel, al, _, _ = self.per_channel(mode)
-        env_r = maxdecay_scan(jnp.broadcast_to(rel[:, None], mag.shape), m, state["env"])
-        env = affine_scan(jnp.broadcast_to(al[:, None], mag.shape),
-                          (1.0 - al)[:, None] * env_r, state["lpf"])
+        # constant-coefficient fast paths (ops/scans.py round-3 note): the
+        # static tables decide the formulation, so any runtime mode mix is
+        # covered by the chosen path
+        if maxdecay_const_ok(self.release, T):
+            env_r = maxdecay_scan_const(rel, m, state["env"])
+        else:
+            env_r = maxdecay_scan(jnp.broadcast_to(rel[:, None], mag.shape),
+                                  m, state["env"])
+        if not self.alpha.any():
+            env = env_r  # instant attack everywhere: the one-pole is identity
+        elif affine_const_ok(self.alpha):
+            env = affine_scan_const(al, (1.0 - al)[:, None] * env_r, state["lpf"])
+        else:
+            env = affine_scan(jnp.broadcast_to(al[:, None], mag.shape),
+                              (1.0 - al)[:, None] * env_r, state["lpf"])
         gain = self.gain_from_env(env, mode)
         new_hist = xp[:, xp.shape[-1] - self.hist_len :] if self.hist_len else ()
         new_state = {"hist": new_hist, "env": env_r[:, -1], "lpf": env[:, -1]}

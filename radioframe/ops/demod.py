@@ -34,10 +34,14 @@ def dc_block_init(num_channels: int):
 
 def dc_block(state, x, pole: float = 0.995):
     """y[n] = x[n] - x[n-1] + pole*y[n-1] on (C, T) real blocks."""
+    from radioframe.ops.scans import affine_const_ok, affine_scan_const
+
     xprev = jnp.concatenate([state[0][:, None], x[:, :-1]], axis=-1)
     b = x - xprev
-    a = jnp.full_like(x, jnp.float32(pole))
-    y = affine_scan(a, b, state[1])
+    if affine_const_ok([pole]):  # static — pole is a python float
+        y = affine_scan_const(jnp.full(x.shape[:-1], jnp.float32(pole)), b, state[1])
+    else:
+        y = affine_scan(jnp.full_like(x, jnp.float32(pole)), b, state[1])
     new_state = jnp.stack([x[:, -1], y[:, -1]])
     return y, new_state
 
@@ -159,13 +163,21 @@ def filter_index(mode):
     return jnp.where(mode == SAM, AM, mode).astype(jnp.int32)
 
 
-def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float = 2500.0):
-    """Run all four demods, select per channel by ``mode`` (C,) int32.
+def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float = 2500.0,
+               enabled: tuple | None = None):
+    """Run the demod bank, select per channel by ``mode`` (C,) int32.
 
-    Four modes are cheap relative to the DDC front end; dense evaluation + mask
-    keeps the program static-shape and branch-free (SURVEY.md §2.3 mode-bank
-    routing). Returns (audio (C, T) float32, new_state).
+    Dense evaluation + mask keeps the program static-shape and branch-free
+    (SURVEY.md §2.3 mode-bank routing). ``enabled`` statically restricts
+    which demods are COMPILED (None = all six): the reference's mode menu
+    maps to config + cheap recompile, so a deployment that never uses SAM
+    (the costliest demod: carrier recovery + derotation + DC scan) simply
+    doesn't pay for it — unlike the reverted lax.cond runtime gating (NOTE
+    below), a static subset has no control flow at all. Disabled modes'
+    states pass through unchanged; channels selecting a disabled mode
+    produce silence. Returns (audio (C, T) float32, new_state).
     """
+    en = frozenset(range(SAM + 1)) if enabled is None else frozenset(map(int, enabled))
     # NOTE: a lax.cond-gated variant (skip demods whose mode is absent this
     # block) was tried in round 2 and REVERTED: inside the full chain
     # program the CPU thunk runtime produced schedule-dependent corrupted
@@ -175,23 +187,31 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     # within noise: the bank's cost is scans + stack/select HBM traffic,
     # not the gated transcendentals). Dense evaluation is the reliable
     # TPU-native shape here.
-    y_ssb = demod_ssb(x)
-    y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
-    y_am, am_dc = demod_am(state["am_dc"], x)
-    y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
-    y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
-    # LSB demod is the same 2*Re after its (negative-band) mode filter.
     # Selection by masked SUM, not stack + take_along_axis: exactly one mask
     # is hot per channel so the result is bit-identical, but the wheres fuse
     # into the demod arithmetic — no (6, C, T) array is ever materialized.
     # At the 4096-channel channelizer's rate that measured 1.03 -> 0.52
     # ms/block for bank+AGC (tools/probe_chanopt.py, floor-corrected).
     m = mode[:, None]
-    sel = (jnp.where((m == SSB) | (m == LSB), y_ssb, 0.0)
-           + jnp.where(m == CW, y_cw, 0.0)
-           + jnp.where(m == AM, y_am, 0.0)
-           + jnp.where(m == NFM, y_nfm, 0.0)
-           + jnp.where(m == SAM, y_sam, 0.0))
+    sel = jnp.zeros(x.shape, jnp.float32)
+    cw_phase, am_dc = state["cw_phase"], state["am_dc"]
+    nfm_last = state["nfm_last"]
+    sam_dc, sam_carrier = state["sam_dc"], state["sam_carrier"]
+    if en & {SSB, LSB}:
+        # LSB demod is the same 2*Re after its (negative-band) mode filter
+        sel = sel + jnp.where((m == SSB) | (m == LSB), demod_ssb(x), 0.0)
+    if CW in en:
+        y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
+        sel = sel + jnp.where(m == CW, y_cw, 0.0)
+    if AM in en:
+        y_am, am_dc = demod_am(state["am_dc"], x)
+        sel = sel + jnp.where(m == AM, y_am, 0.0)
+    if NFM in en:
+        y_nfm, nfm_last = demod_nfm(state["nfm_last"], x, fs, nfm_deviation_hz)
+        sel = sel + jnp.where(m == NFM, y_nfm, 0.0)
+    if SAM in en:
+        y_sam, sam_dc, sam_carrier = demod_sam(state["sam_dc"], state["sam_carrier"], x, fs)
+        sel = sel + jnp.where(m == SAM, y_sam, 0.0)
     new_state = {"cw_phase": cw_phase, "am_dc": am_dc, "nfm_last": nfm_last,
                  "sam_dc": sam_dc, "sam_carrier": sam_carrier}
     return sel.astype(jnp.float32), new_state

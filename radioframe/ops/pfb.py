@@ -50,11 +50,15 @@ class PfbChannelizer:
         """
         B, T = x.shape
         assert T % self.M == 0, f"block length {T} must be a multiple of M={self.M}"
-        xp = jnp.concatenate([tail, x], axis=-1)  # (B, (K-1)*M + T)
         F = T // self.M
         K, M = self.K, self.M
-        frr = jnp.real(xp).reshape(B, F + K - 1, M)
-        fri = jnp.imag(xp).reshape(B, F + K - 1, M)
+        # split planes BEFORE the concat: when the caller built x from f32
+        # planes (the bench/ingest path), real(complex(a,b)) simplifies to a
+        # and the big block never materializes as interleaved c64
+        frr = jnp.concatenate([jnp.real(tail), jnp.real(x)], axis=-1
+                              ).reshape(B, F + K - 1, M)
+        fri = jnp.concatenate([jnp.imag(tail), jnp.imag(x)], axis=-1
+                              ).reshape(B, F + K - 1, M)
         h = self._h
         ur = jnp.zeros((B, F, M), jnp.float32)
         ui = jnp.zeros((B, F, M), jnp.float32)
@@ -66,5 +70,7 @@ class PfbChannelizer:
         # DFT across phases (type-1 polyphase -> channel c at +c*fs/M)
         y = jnp.fft.fft(lax.complex(ur, ui), axis=-1)  # (B, F, M), contiguous
         y = jnp.moveaxis(y, -1, 1).astype(jnp.complex64)  # (B, M, F)
-        new_tail = xp[:, xp.shape[-1] - (self.K - 1) * self.M:]
+        # tail = last (K-1)*M input samples (handles T < (K-1)*M by keeping
+        # the needed suffix of the previous tail too)
+        new_tail = lax.complex(frr, fri).reshape(B, -1)[:, -(self.K - 1) * self.M:]
         return y, new_tail

@@ -42,6 +42,9 @@ class ChannelizerConfig:
     # Spectrum path stays the default for `[U:fft.c]` panorama parity.
     waterfall_from_pfb: bool = False
     waterfall_frame_avg: int = 1
+    # statically restrict which demods compile (None = all six); see
+    # ops/demod.py bank_apply — a deployment without SAM doesn't pay for it
+    enabled_modes: tuple | None = None
 
     @property
     def fs_channel(self) -> float:
@@ -98,7 +101,8 @@ class ChannelizerChain:
         chans = chans[0]  # (M, F)
         cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
-            state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
+            state["demod"], chans, mode, cw_word, cfg.fs_channel,
+            cfg.nfm_deviation_hz, enabled=cfg.enabled_modes)
         agc_audio, agc_env, agc_gain = self.agc_bank.apply(state["agc"], audio, mode)
         audio = jnp.where((mode == demod_op.NFM)[:, None], audio, agc_audio)
         aux = {"channel_power": jnp.mean(jnp.abs(chans) ** 2, axis=-1)}

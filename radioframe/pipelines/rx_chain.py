@@ -277,7 +277,8 @@ class RxChain:
             sel, nr_state = self.nr(state["nr"], sel, voice=voice)
         cw_word = jnp.full(mode.shape[0], self.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
-            state["demod"], sel, mode, cw_word, cfg.fs_audio, cfg.nfm_deviation_hz)
+            state["demod"], sel, mode, cw_word, cfg.fs_audio,
+            cfg.nfm_deviation_hz, enabled=cfg.enabled_modes)
         deemph_state = state.get("deemph", ())
         if self.deemph is not None:
             # de-emphasis runs dense, selected for NFM channels only (the

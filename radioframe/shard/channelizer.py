@@ -58,7 +58,8 @@ class ShardedChannelizer:
 
         cw_word = jnp.full((chans.shape[0],), chain.cw_tone_word, jnp.int32)
         audio, demod_state = demod_op.bank_apply(
-            state["demod"], chans, mode, cw_word, cfg.fs_channel, cfg.nfm_deviation_hz)
+            state["demod"], chans, mode, cw_word, cfg.fs_channel,
+            cfg.nfm_deviation_hz, enabled=cfg.enabled_modes)
         # channels are sharded, time is whole here — the per-mode AGC bank
         # runs locally per shard, no collectives needed
         agc_audio, agc_env, agc_gain = chain.agc_bank.apply(state["agc"], audio, mode)

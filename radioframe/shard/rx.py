@@ -193,57 +193,71 @@ class ShardedRxChain:
             nr_state = est
 
         Ta_loc = sel.shape[-1]
-        # demod bank, sharded: cw NCO at offset; nfm 1-sample halo; am dc scan
-        y_ssb = demod_op.demod_ssb(sel)
-        cw_word = jnp.full(sel.shape[0], chain.cw_tone_word, jnp.int32)
-        y_cw = 2.0 * jnp.real(nco.mix_up_at(sel, cw_word, state["demod"]["cw_phase"],
-                                            d * jnp.int32(Ta_loc)))
-        new_cw = state["demod"]["cw_phase"] + cw_word * jnp.int32(D * Ta_loc)
-
-        env_am = jnp.abs(sel).astype(jnp.float32)
-        xprev_pre, new_am_xprev = _halo_tail(env_am, state["demod"]["am_dc"][0][:, None], 1, ta)
-        xprev = jnp.concatenate([xprev_pre, env_am[:, :-1]], axis=-1)
-        b = env_am - xprev
-        y_am, new_am_y = sharded_affine_scan(0.995, b, state["demod"]["am_dc"][1], ta)
-        new_am_dc = jnp.stack([jnp.real(new_am_xprev[:, -1]), new_am_y])
-
-        prev_pre, new_nfm_last = _halo_tail(sel, state["demod"]["nfm_last"][:, None], 1, ta)
-        xprev_c = jnp.concatenate([prev_pre, sel[:, :-1]], axis=-1)
-        dd = sel * jnp.conj(xprev_c)
-        y_nfm = jnp.arctan2(jnp.imag(dd), jnp.real(dd)) * jnp.float32(
-            cfg.fs_audio / (2.0 * np.pi * cfg.nfm_deviation_hz))
-
-        # SAM: global lag-1 autocorrelation (psum; shard 0 drops the term
-        # that would reach before the block), coherent derotation, dc scan
-        lag1_pre, _ = _halo_tail(sel, jnp.zeros((sel.shape[0], 1), sel.dtype), 1, ta)
-        xl = jnp.concatenate([lag1_pre, sel[:, :-1]], axis=-1)
-        prods = sel * jnp.conj(xl)
-        first_w = jnp.where(d == 0, 0.0, 1.0)
-        prods = prods.at[:, 0].multiply(first_w)
-        r1 = lax.psum(jnp.sum(prods, axis=-1), ta)
-        w_c = jnp.arctan2(jnp.imag(r1), jnp.real(r1))
-        n_loc = d * jnp.int32(Ta_loc) + jnp.arange(Ta_loc, dtype=jnp.int32)
-        sam_phase = state["demod"]["sam_carrier"][0][:, None] + w_c[:, None] * n_loc.astype(jnp.float32)[None, :]
-        derot = sel * jnp.exp(-1j * sam_phase).astype(sel.dtype)
-        meanp = lax.psum(jnp.sum(derot, axis=-1), ta)
-        meanp = meanp / jnp.maximum(jnp.abs(meanp), 1e-9)
-        coherent = jnp.real(derot * jnp.conj(meanp)[:, None]).astype(jnp.float32)
-        sam_prev_pre, new_sam_x = _halo_tail(coherent, state["demod"]["sam_dc"][0][:, None], 1, ta)
-        sam_b = coherent - jnp.concatenate([sam_prev_pre, coherent[:, :-1]], axis=-1)
-        y_sam, new_sam_y = sharded_affine_scan(0.995, sam_b, state["demod"]["sam_dc"][1], ta)
-        new_sam_dc = jnp.stack([new_sam_x[:, -1], new_sam_y])
-        new_sam_carrier = jnp.stack([
-            jnp.mod(state["demod"]["sam_carrier"][0] + w_c * (D * Ta_loc),
-                    jnp.float32(2.0 * np.pi)), w_c])
-
-        # masked-sum select (exactly one mask hot per channel — bit-identical
-        # to a gather, but fuses; see ops/demod.py bank_apply note)
+        # demod bank, sharded: cw NCO at offset; nfm 1-sample halo; am dc
+        # scan. Static mode-subset gating + masked-sum select, mirroring
+        # ops/demod.py bank_apply (disabled demods' states pass through).
+        en = (frozenset(range(demod_op.SAM + 1)) if cfg.enabled_modes is None
+              else frozenset(map(int, cfg.enabled_modes)))
         m_sel = mode[:, None]
-        audio = (jnp.where((m_sel == demod_op.SSB) | (m_sel == demod_op.LSB), y_ssb, 0.0)
-                 + jnp.where(m_sel == demod_op.CW, y_cw, 0.0)
-                 + jnp.where(m_sel == demod_op.AM, y_am, 0.0)
-                 + jnp.where(m_sel == demod_op.NFM, y_nfm, 0.0)
-                 + jnp.where(m_sel == demod_op.SAM, y_sam, 0.0))
+        audio = jnp.zeros(sel.shape, jnp.float32)
+        if en & {demod_op.SSB, demod_op.LSB}:
+            y_ssb = demod_op.demod_ssb(sel)
+            audio = audio + jnp.where(
+                (m_sel == demod_op.SSB) | (m_sel == demod_op.LSB), y_ssb, 0.0)
+
+        cw_word = jnp.full(sel.shape[0], chain.cw_tone_word, jnp.int32)
+        new_cw = state["demod"]["cw_phase"]
+        if demod_op.CW in en:
+            y_cw = 2.0 * jnp.real(nco.mix_up_at(sel, cw_word, state["demod"]["cw_phase"],
+                                                d * jnp.int32(Ta_loc)))
+            new_cw = state["demod"]["cw_phase"] + cw_word * jnp.int32(D * Ta_loc)
+            audio = audio + jnp.where(m_sel == demod_op.CW, y_cw, 0.0)
+
+        new_am_dc = state["demod"]["am_dc"]
+        if demod_op.AM in en:
+            env_am = jnp.abs(sel).astype(jnp.float32)
+            xprev_pre, new_am_xprev = _halo_tail(env_am, state["demod"]["am_dc"][0][:, None], 1, ta)
+            xprev = jnp.concatenate([xprev_pre, env_am[:, :-1]], axis=-1)
+            b = env_am - xprev
+            y_am, new_am_y = sharded_affine_scan(0.995, b, state["demod"]["am_dc"][1], ta)
+            new_am_dc = jnp.stack([jnp.real(new_am_xprev[:, -1]), new_am_y])
+            audio = audio + jnp.where(m_sel == demod_op.AM, y_am, 0.0)
+
+        new_nfm_last = state["demod"]["nfm_last"][:, None]
+        if demod_op.NFM in en:
+            prev_pre, new_nfm_last = _halo_tail(sel, state["demod"]["nfm_last"][:, None], 1, ta)
+            xprev_c = jnp.concatenate([prev_pre, sel[:, :-1]], axis=-1)
+            dd = sel * jnp.conj(xprev_c)
+            y_nfm = jnp.arctan2(jnp.imag(dd), jnp.real(dd)) * jnp.float32(
+                cfg.fs_audio / (2.0 * np.pi * cfg.nfm_deviation_hz))
+            audio = audio + jnp.where(m_sel == demod_op.NFM, y_nfm, 0.0)
+
+        new_sam_dc = state["demod"]["sam_dc"]
+        new_sam_carrier = state["demod"]["sam_carrier"]
+        if demod_op.SAM in en:
+            # SAM: global lag-1 autocorrelation (psum; shard 0 drops the term
+            # that would reach before the block), coherent derotation, dc scan
+            lag1_pre, _ = _halo_tail(sel, jnp.zeros((sel.shape[0], 1), sel.dtype), 1, ta)
+            xl = jnp.concatenate([lag1_pre, sel[:, :-1]], axis=-1)
+            prods = sel * jnp.conj(xl)
+            first_w = jnp.where(d == 0, 0.0, 1.0)
+            prods = prods.at[:, 0].multiply(first_w)
+            r1 = lax.psum(jnp.sum(prods, axis=-1), ta)
+            w_c = jnp.arctan2(jnp.imag(r1), jnp.real(r1))
+            n_loc = d * jnp.int32(Ta_loc) + jnp.arange(Ta_loc, dtype=jnp.int32)
+            sam_phase = state["demod"]["sam_carrier"][0][:, None] + w_c[:, None] * n_loc.astype(jnp.float32)[None, :]
+            derot = sel * jnp.exp(-1j * sam_phase).astype(sel.dtype)
+            meanp = lax.psum(jnp.sum(derot, axis=-1), ta)
+            meanp = meanp / jnp.maximum(jnp.abs(meanp), 1e-9)
+            coherent = jnp.real(derot * jnp.conj(meanp)[:, None]).astype(jnp.float32)
+            sam_prev_pre, new_sam_x = _halo_tail(coherent, state["demod"]["sam_dc"][0][:, None], 1, ta)
+            sam_b = coherent - jnp.concatenate([sam_prev_pre, coherent[:, :-1]], axis=-1)
+            y_sam, new_sam_y = sharded_affine_scan(0.995, sam_b, state["demod"]["sam_dc"][1], ta)
+            new_sam_dc = jnp.stack([new_sam_x[:, -1], new_sam_y])
+            new_sam_carrier = jnp.stack([
+                jnp.mod(state["demod"]["sam_carrier"][0] + w_c * (D * Ta_loc),
+                        jnp.float32(2.0 * np.pi)), w_c])
+            audio = audio + jnp.where(m_sel == demod_op.SAM, y_sam, 0.0)
         audio = audio.astype(jnp.float32)
 
         # NFM de-emphasis: dense cross-shard biquad, selected per channel

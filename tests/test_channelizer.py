@@ -238,3 +238,28 @@ class TestPfbWaterfall:
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
         np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
                                    np.asarray(ref_aux["waterfall"]), atol=1e-2)
+
+
+class TestEnabledModes:
+    def test_subset_matches_full_bank(self, rng):
+        """Static mode-subset gating: channels using enabled modes produce
+        identical audio to the full bank; disabled-mode states pass through."""
+        M = 32
+        full = ChannelizerConfig(fs_in=32_000.0 * M, num_channels=M,
+                                 emit_spectrum=False)
+        sub = ChannelizerConfig(fs_in=32_000.0 * M, num_channels=M,
+                                emit_spectrum=False,
+                                enabled_modes=(0, 1, 2, 3))
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)  # only modes 0-3 used
+        wide = _wideband(rng, 4 * ChannelizerChain(full).min_block)
+        outs = []
+        for cfg in (full, sub):
+            chain = ChannelizerChain(cfg)
+            st = chain.init_state()
+            st, audio, _ = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+            outs.append((np.asarray(audio), st))
+        np.testing.assert_array_equal(outs[0][0], outs[1][0])
+        # disabled SAM's state untouched in the subset chain
+        np.testing.assert_array_equal(
+            np.asarray(outs[1][1]["demod"]["sam_carrier"]),
+            np.zeros((2, M), np.float32))

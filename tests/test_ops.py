@@ -286,3 +286,55 @@ class TestZoomSpectrum:
             outs.append(np.asarray(lines))
         got = np.concatenate(outs, axis=1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=1e-3)
+
+
+class TestFastScans:
+    """Constant-coefficient scan fast paths == associative scans
+    (ops/scans.py round-3 note; probe: tools/probe_scans.py)."""
+
+    def test_affine_const_matches(self, rng):
+        from radioframe.ops.scans import affine_const_ok, affine_scan, affine_scan_const
+
+        C, T = 16, 1024
+        a_ch = jnp.asarray(rng.uniform(0.93, 0.999, C).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+        s0 = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        assert affine_const_ok(np.asarray(a_ch))
+        ref = affine_scan(jnp.broadcast_to(a_ch[:, None], (C, T)), b, s0)
+        got = affine_scan_const(a_ch, b, s0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_affine_const_zero_rows_exact(self, rng):
+        from radioframe.ops.scans import affine_scan_const
+
+        C, T = 8, 512
+        a_ch = jnp.asarray(np.r_[np.zeros(4), np.full(4, 0.98)].astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
+        s0 = jnp.zeros((C,), jnp.float32)
+        got = affine_scan_const(a_ch, b, s0)
+        # a == 0 rows: s[n] == b[n] exactly (instant)
+        np.testing.assert_array_equal(np.asarray(got)[:4], np.asarray(b)[:4])
+
+    def test_maxdecay_const_matches(self, rng):
+        from radioframe.ops.scans import (maxdecay_const_ok, maxdecay_scan,
+                                          maxdecay_scan_const)
+
+        C, T = 16, 2048
+        a_ch = jnp.asarray(np.exp(-1.0 / (rng.uniform(0.25, 0.8, C) * 15000.0))
+                           .astype(np.float32))
+        v = jnp.asarray(np.abs(rng.standard_normal((C, T))).astype(np.float32))
+        s0 = jnp.asarray(np.abs(rng.standard_normal(C)).astype(np.float32))
+        assert maxdecay_const_ok(np.asarray(a_ch), T)
+        ref = maxdecay_scan(jnp.broadcast_to(a_ch[:, None], (C, T)), v, s0)
+        got = maxdecay_scan_const(a_ch, v, s0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_ok_guards(self):
+        from radioframe.ops.scans import affine_const_ok, maxdecay_const_ok
+
+        assert affine_const_ok([0.995, 0.98, 0.0])
+        assert not affine_const_ok([0.5])      # rescale would blow up
+        assert maxdecay_const_ok([0.9999], 2048)
+        assert not maxdecay_const_ok([0.99], 2048)  # 0.99^-2047 huge
