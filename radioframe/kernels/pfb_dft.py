@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: fused polyphase filterbank + M-point DFT.
+
+The config-5 hot loop (SURVEY.md §7 P6; VERDICT r2 ask #3). The XLA
+formulation pays ~2.1 ms/block at M=4096, F=2048: the K=8 shifted
+multiply-adds re-read the frame planes from HBM, the FFT makes its own
+passes, and the (F, M) -> (M, F) transpose adds another. Fused form: each
+grid step loads ONE tile of frames into VMEM, runs the K-tap polyphase
+accumulation in registers, and applies the M-point DFT as a Cooley-Tukey
+M1 x M2 decomposition — two small complex matmuls on the MXU (f32 via
+precision=HIGHEST; the bf16 default was measured 1.7e-2 relative error,
+far outside audio tolerance) with a twiddle multiply between. The input
+stream crosses HBM exactly once.
+
+    X[M1*k2 + k1] = sum_{n2} W2[n2, k2] * TW[n2, k1]
+                    * sum_{n1} u[M2*n1 + n2] W1[n1, k1]
+
+History: the K-1 frames a tile needs are what the previous tile just
+loaded — carried in VMEM scratch (sequential grid), the same pattern as
+kernels/fused_frontend2.py; tile 0 seeds from the carried block tail.
+
+Reference analog: the FPGA's channelizer pipeline (DDC per channel at
+line rate with no full-rate buffering); here the TPU memory hierarchy
+plays the role of the FPGA's register fabric.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dft_consts(M: int):
+    """Cooley-Tukey factors M = M1*M2 (both pow2) + twiddles, host f32.
+
+    M2 is kept at the TPU lane width (128) when possible so every kernel
+    value keeps a full-lane minor dim — no in-kernel reshapes (Mosaic
+    rejects lane splits; the 3D shaping happens host-side, where the
+    row-major reshape is free)."""
+    M2 = 128 if M % 128 == 0 and M >= 128 else 1 << (M.bit_length() // 2)
+    M1 = M // M2
+    assert M1 * M2 == M and M1 * M2 > 1
+    n1k1 = np.outer(np.arange(M1), np.arange(M1))
+    n2k2 = np.outer(np.arange(M2), np.arange(M2))
+    n2k1 = np.outer(np.arange(M2), np.arange(M1))
+    W1 = np.exp(-2j * np.pi * n1k1 / M1)
+    W2 = np.exp(-2j * np.pi * n2k2 / M2)
+    TW = np.exp(-2j * np.pi * n2k1 / M)
+    f32 = lambda a: np.ascontiguousarray(a, dtype=np.float32)
+    return (M1, M2, f32(W1.real), f32(W1.imag), f32(W2.real), f32(W2.imag),
+            f32(TW.real), f32(TW.imag))
+
+
+def _mm(a, b):
+    """(TF, n, m) contract axis 1 (n) with b (n, k) -> (TF, m, k)."""
+    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+
+
+def _kernel(TF, K, M1, M2,
+            xr_ref, xi_ref, tl_ref, h_ref,
+            w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+            yr_ref, yi_ref, hr_ref, hi_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _seed():  # block-level tail -> history scratch
+        hr_ref[...] = tl_ref[0]
+        hi_ref[...] = tl_ref[1]
+
+    fr = jnp.concatenate([hr_ref[...], xr_ref[...]], axis=0)  # (TF+K-1, M1, M2)
+    fi = jnp.concatenate([hi_ref[...], xi_ref[...]], axis=0)
+    hr_ref[...] = fr[TF:]
+    hi_ref[...] = fi[TF:]
+
+    # polyphase accumulation: u[f, p] = sum_t h[t, p] * fr[f + K-1-t, p]
+    ur = jnp.zeros((TF, M1, M2), jnp.float32)
+    ui = jnp.zeros((TF, M1, M2), jnp.float32)
+    for t in range(K):
+        w = h_ref[t][None]
+        ur = ur + w * fr[K - 1 - t: K - 1 - t + TF]
+        ui = ui + w * fi[K - 1 - t: K - 1 - t + TF]
+
+    # M-point DFT, Cooley-Tukey M1 x M2 (n = M2*n1 + n2, k = M1*k2 + k1):
+    # both contractions run over axis 1 via dot_general — values stay 3D
+    # with a full-lane (M2 or M1-lane) minor dim, no in-kernel reshapes
+    w1r, w1i = w1r_ref[...], w1i_ref[...]
+    # A[n2, k1] = sum_n1 u[n1, n2] W1[n1, k1]
+    ar = _mm(ur, w1r) - _mm(ui, w1i)   # (TF, n2, k1)
+    ai = _mm(ur, w1i) + _mm(ui, w1r)
+    twr, twi = twr_ref[...], twi_ref[...]  # (n2, k1)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    w2r, w2i = w2r_ref[...], w2i_ref[...]
+    # X[k2, k1] = sum_n2 B[n2, k1] W2[n2, k2]
+    yr_ref[...] = _mm(br, w2r) - _mm(bi, w2i)  # (TF, k1, k2)
+    yi_ref[...] = _mm(br, w2i) + _mm(bi, w2r)
+
+
+class FusedPfbDft:
+    """Fused PFB + DFT. Same streaming contract as ops/pfb.PfbChannelizer
+    restricted to B=1: (tail (1, (K-1)M) c64, x (1, T) c64) -> (y (1, M, F)
+    c64, new_tail). M must be a power of two (the DFT factorization)."""
+
+    MAX_GRID = 256
+
+    def __init__(self, num_channels: int, taps_per_channel: int = 8,
+                 window: str = "hamming", interpret: bool = False):
+        from radioframe.ops.filter_design import pfb_prototype_taps
+
+        self.M = int(num_channels)
+        assert self.M & (self.M - 1) == 0, "fused PFB needs pow2 M"
+        self.K = int(taps_per_channel)
+        proto = pfb_prototype_taps(self.M, self.K, window)
+        self._h = np.ascontiguousarray(proto.reshape(self.K, self.M)
+                                       .astype(np.float32))
+        (self.M1, self.M2, self._w1r, self._w1i, self._w2r, self._w2i,
+         self._twr, self._twi) = _dft_consts(self.M)
+        self.interpret = interpret
+
+    def init_state(self, batch: int = 1):
+        assert batch == 1
+        return jnp.zeros((1, (self.K - 1) * self.M), dtype=jnp.complex64)
+
+    def _pick_tf(self, F: int) -> int:
+        # VMEM budget: ~12 live (TF, M) f32 arrays + double-buffered I/O
+        # blocks; 32 frames at M=4096 fits the 32 MB scoped limit
+        cap = max(8, min(256, (32 * 4096) // self.M))
+        tf = 1
+        while tf * 2 <= min(F, cap) and F % (tf * 2) == 0:
+            tf *= 2
+        return tf
+
+    def __call__(self, tail, x):
+        B, T = x.shape
+        assert B == 1 and T % self.M == 0
+        K, M = self.K, self.M
+        F = T // M
+        TF = self._pick_tf(F)
+        grid = F // TF
+        assert grid * TF == F
+        if grid > self.MAX_GRID:  # sequential chunking, same state contract
+            chunk_T = self.MAX_GRID * TF * M
+            ys = []
+            for t0 in range(0, T, chunk_T):
+                y, tail = self(tail, x[:, t0: t0 + chunk_T])
+                ys.append(y)
+            return jnp.concatenate(ys, axis=-1), tail
+
+        M1, M2 = self.M1, self.M2
+        # host-side 3D shaping: row-major (F, M) -> (F, M1, M2) is free and
+        # keeps every kernel value at a full-lane minor dim (no in-kernel
+        # reshapes — Mosaic rejects lane splits)
+        xr = jnp.real(x[0]).reshape(F, M1, M2)
+        xi = jnp.imag(x[0]).reshape(F, M1, M2)
+        t2 = tail[0].reshape(K - 1, M1, M2)
+        tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
+
+        kern = functools.partial(_kernel, TF, K, M1, M2)
+        c = lambda a: jnp.asarray(a)
+        h3 = self._h.reshape(K, M1, M2)
+        yr, yi = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((2, K - 1, M1, M2), lambda i: (0, 0, 0, 0)),
+                pl.BlockSpec((K, M1, M2), lambda i: (0, 0, 0)),
+                pl.BlockSpec((M1, M1), lambda i: (0, 0)),
+                pl.BlockSpec((M1, M1), lambda i: (0, 0)),
+                pl.BlockSpec((M2, M2), lambda i: (0, 0)),
+                pl.BlockSpec((M2, M2), lambda i: (0, 0)),
+                pl.BlockSpec((M2, M1), lambda i: (0, 0)),
+                pl.BlockSpec((M2, M1), lambda i: (0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                       pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0))],
+            out_shape=[jax.ShapeDtypeStruct((F, M1, M2), jnp.float32),
+                       jax.ShapeDtypeStruct((F, M1, M2), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((K - 1, M1, M2), jnp.float32),
+                            pltpu.VMEM((K - 1, M1, M2), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),  # sequential: history
+                vmem_limit_bytes=32 * 1024 * 1024),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * F * M * K  # polyphase MACs (x2 planes)
+                + 8 * F * M * (self.M1 + self.M2),  # 8 real matmuls
+                bytes_accessed=4 * F * M * 4,
+                transcendentals=0,
+            ),
+        )(xr, xi, tl, c(h3), c(self._w1r), c(self._w1i),
+          c(self._w2r), c(self._w2i), c(self._twr), c(self._twi))
+
+        # kernel emits (F, k1, k2); flat channel index is k = M1*k2 + k1
+        yc = lax.complex(yr, yi)
+        yc = jnp.transpose(yc, (0, 2, 1)).reshape(F, M)
+        y = jnp.moveaxis(yc, 0, -1)[None]  # (1, M, F)
+        new_tail = x[:, T - (K - 1) * M:] if T >= (K - 1) * M else (
+            jnp.concatenate([tail, x], axis=-1)[:, -(K - 1) * M:])
+        return y.astype(jnp.complex64), new_tail

@@ -45,6 +45,10 @@ class ChannelizerConfig:
     # statically restrict which demods compile (None = all six); see
     # ops/demod.py bank_apply — a deployment without SAM doesn't pay for it
     enabled_modes: tuple | None = None
+    # fused Pallas PFB+DFT kernel (kernels/pfb_dft.py): one VMEM pass for
+    # the polyphase accumulate + Cooley-Tukey MXU DFT. pow2 M only;
+    # interpret-mode on CPU (parity-tested), compiled on TPU
+    fuse_pfb: bool = False
 
     @property
     def fs_channel(self) -> float:
@@ -66,7 +70,15 @@ class ChannelizerChain:
 
     def __init__(self, cfg: ChannelizerConfig):
         self.cfg = cfg
-        self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
+        if cfg.fuse_pfb:
+            import jax as _jax
+
+            from radioframe.kernels.pfb_dft import FusedPfbDft
+
+            self.pfb = FusedPfbDft(cfg.num_channels, cfg.taps_per_channel,
+                                   interpret=_jax.default_backend() == "cpu")
+        else:
+            self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
         self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
         n_modes = demod_op.SAM + 1
         mode_cfgs = cfg.agc_modes if cfg.agc_modes is not None else (cfg.agc,) * n_modes

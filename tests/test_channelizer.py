@@ -263,3 +263,74 @@ class TestEnabledModes:
         np.testing.assert_array_equal(
             np.asarray(outs[1][1]["demod"]["sam_carrier"]),
             np.zeros((2, M), np.float32))
+
+
+class TestFusedPfbDft:
+    """kernels/pfb_dft.py == ops/pfb.py (interpret mode on the CPU mesh)."""
+
+    def test_matches_xla_pfb(self, rng):
+        from radioframe.kernels.pfb_dft import FusedPfbDft
+
+        M, K = 64, 8
+        ref_op = PfbChannelizer(M, K)
+        fus = FusedPfbDft(M, K, interpret=True)
+        x = _wideband(rng, 32 * M)
+        yr, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
+        yf, _ = fus(fus.init_state(1), jnp.asarray(x[None, :]))
+        np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_streaming_matches(self, rng):
+        from radioframe.kernels.pfb_dft import FusedPfbDft
+
+        M, K = 32, 8
+        ref_op = PfbChannelizer(M, K)
+        fus = FusedPfbDft(M, K, interpret=True)
+        x = _wideband(rng, 96 * M)
+        whole, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
+        st = fus.init_state(1)
+        outs = []
+        for blk in np.split(x, 3):
+            y, st = fus(st, jnp.asarray(blk[None, :]))
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(got, np.asarray(whole), atol=2e-4, rtol=1e-4)
+
+    def test_chain_with_fused_pfb(self, rng):
+        M = 64
+        base = dict(fs_in=64_000.0 * M, num_channels=M, emit_spectrum=True,
+                    waterfall_from_pfb=True, waterfall_frame_avg=4)
+        ref_chain = ChannelizerChain(ChannelizerConfig(**base))
+        fus_chain = ChannelizerChain(ChannelizerConfig(**base, fuse_pfb=True))
+        T = 4 * ref_chain.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st = ref_chain.init_state()
+        _, ref_audio, ref_aux = jax.jit(ref_chain.step)(st, jnp.asarray(wide), mode)
+        st2 = fus_chain.init_state()
+        _, got_audio, got_aux = jax.jit(fus_chain.step)(st2, jnp.asarray(wide), mode)
+        W = ref_chain.pfb.K
+        np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
+                                   np.asarray(ref_audio)[:, W:], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(got_aux["waterfall"]),
+                                   np.asarray(ref_aux["waterfall"]), atol=1e-2)
+
+    def test_sharded_with_fused_pfb(self, rng):
+        """Fused PFB kernel inside shard_map (interpret on the CPU mesh):
+        sharded == unsharded, halo through the same tail contract."""
+        M, D = 64, 4
+        cfg = ChannelizerConfig(fs_in=64_000.0 * M, num_channels=M,
+                                emit_spectrum=False, fuse_pfb=True)
+        chain = ChannelizerChain(cfg)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        T = D * 2 * chain.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st = chain.init_state()
+        _, ref_audio, _ = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        st2 = chain.init_state()
+        _, got_audio, _ = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        W = chain.pfb.K
+        np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
+                                   np.asarray(ref_audio)[:, W:], atol=2e-4)
