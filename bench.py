@@ -135,7 +135,7 @@ def bench_tx():
     from radioframe.core import presets
     from radioframe.pipelines.tx_chain import TxChain
 
-    C, iters = 64, 8
+    C, iters = 64, 32  # floor is per dispatch (probe_floor): ~0.8 ms/iter
     cfg = presets.tx_adc_61m44(channels=C)
     chain = TxChain(cfg)
     Ta = chain.min_block  # 512 audio samples -> 655360 IQ out per channel
@@ -172,7 +172,7 @@ def bench_duplex():
     samples/s/chip (TX emits the same rate out, simultaneously)."""
     from radioframe.pipelines.duplex import DuplexChain
 
-    C, iters = 128, 16
+    C, iters = 128, 64
     rx_cfg = RxConfig(
         fs_in=1_536_000.0, channels=C,
         stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),

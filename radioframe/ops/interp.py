@@ -1,13 +1,18 @@
 """Streaming FIR interpolator (zero-stuff by L + anti-image FIR) — the DUC
 upsampling stage (SURVEY.md §2.1 #10), adjoint of ops/fir.FirDecimator.
 
-Zero-stuffing is expressed as ``lhs_dilation`` in conv_general_dilated, so
-XLA lowers it as a transposed conv (polyphase — no multiplies on stuffed
-zeros) instead of materializing the upsampled stream.
-
 Semantics match golden ``interpolate``: u[mL] = x[m] (else 0),
 y[n] = sum_k h[k] u[n-k]; a block of T inputs yields T*L outputs
 y[n0 .. n0+T*L-1]. State = last ceil((Lh-1)/L) input samples.
+
+Formulation (round 3): EXPLICIT polyphase as phases-in-lanes shifted adds:
+y[qL + p] = sum_j h[jL + p] x[q - j], computed as J+1 broadcast
+multiply-adds of (C, T) input slices into a (C, T, L) accumulator that
+XLA fuses into one output-rate pass, then a free row-major reshape to
+(C, T*L). The previous ``lhs_dilation`` conv was measured ~20x off the
+write bound at L=1280 stage chains: XLA:TPU does NOT polyphase-optimize
+dilated convs — it runs all Lh taps at the DILATED rate (tools/
+probe_interp.py; 8.1 -> ~0.6 ms/block for the tx_adc_61m44 plan).
 """
 
 from __future__ import annotations
@@ -24,8 +29,11 @@ class FirInterpolator:
         self.L = int(L)
         self.Lh = len(taps)
         self.tin = -(-(self.Lh - 1) // self.L)  # ceil((Lh-1)/L) carried inputs
-        w = taps[::-1].astype(np.float32)
-        self._rhs = np.stack([w, w])[:, None, :]  # (2, 1, Lh) grouped re/im
+        # polyphase components: w[j, p] = h[jL + p], zero-padded
+        J1 = self.tin + 1
+        wp = np.zeros((J1 * self.L,), np.float64)
+        wp[: self.Lh] = np.asarray(taps, np.float64)
+        self._w = np.ascontiguousarray(wp.reshape(J1, self.L).astype(np.float32))
 
     def init_state(self, num_channels: int):
         return jnp.zeros((num_channels, self.tin), dtype=jnp.complex64)
@@ -34,19 +42,16 @@ class FirInterpolator:
         """(tail (C, tin), x (C, T)) -> (y (C, T*L), new_tail)."""
         C, T = x.shape
         xp = jnp.concatenate([tail, x], axis=-1)  # (C, tin + T)
-        lhs = jnp.stack([jnp.real(xp), jnp.imag(xp)], axis=1)  # (C, 2, tin+T)
-        out = lax.conv_general_dilated(
-            lhs, jnp.asarray(self._rhs),
-            window_strides=(1,),
-            padding=((0, self.L - 1),),
-            lhs_dilation=(self.L,),
-            dimension_numbers=("NCH", "OIH", "NCH"),
-            feature_group_count=2,
-            preferred_element_type=jnp.float32,
-        )  # (C, 2, (tin+T)*L - Lh + 1 + (L-1))
-        start = self.tin * self.L - (self.Lh - 1)
-        y = lax.complex(out[:, 0, start : start + T * self.L],
-                        out[:, 1, start : start + T * self.L])
+        xr, xi = jnp.real(xp), jnp.imag(xp)
+        w = jnp.asarray(self._w)  # (J+1, L)
+        yr = jnp.zeros((C, T, self.L), jnp.float32)
+        yi = jnp.zeros((C, T, self.L), jnp.float32)
+        # y[q, p] = sum_j w[j, p] * x[q - j]  (q at the input rate)
+        for j in range(self.tin + 1):
+            sl = slice(self.tin - j, self.tin - j + T)
+            yr = yr + xr[:, sl, None] * w[j][None, None, :]
+            yi = yi + xi[:, sl, None] * w[j][None, None, :]
+        y = lax.complex(yr, yi).reshape(C, T * self.L)
         new_tail = xp[:, xp.shape[-1] - self.tin :]
         return y, new_tail
 

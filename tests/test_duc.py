@@ -21,7 +21,7 @@ class TestCicInterpolator:
         op = cic_interpolator(L, N)
         x = (rng.standard_normal((1, 96)) + 1j * rng.standard_normal((1, 96))).astype(np.complex64)
         y, _ = jax.jit(op)(op.init_state(1), jnp.asarray(x))
-        taps = np.asarray(op._rhs[0, 0])[::-1]
+        taps = np.asarray(op._w).reshape(-1)[: op.Lh]
         want, _ = G.interpolate(x[0].astype(np.complex128), L, taps)
         np.testing.assert_allclose(np.asarray(y)[0], want, atol=1e-5)
 
