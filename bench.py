@@ -66,10 +66,13 @@ def bench_adc_rate():
     state = jax.jit(lambda: chain.init_state(C))()
     state, s = runj(state, iq_ri, words, mode, n=iters)
     _sync(s)
-    t0 = time.perf_counter()
-    state, s = runj(state, iq_ri, words, mode, n=iters)
-    _sync(s)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+        t0 = time.perf_counter()
+        state, s = runj(state, iq_ri, words, mode, n=iters)
+        _sync(s)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     return C * T * iters / dt, {"channels": C, "block_T": T, "decim": cfg.decim,
                                 "iters": iters, "seconds": round(dt, 4)}
 
@@ -119,10 +122,13 @@ def bench_channelizer():
     state = jax.jit(chain.init_state)()
     state, s = runj(state, wb_ri, mode, n=iters)
     _sync(s)
-    t0 = time.perf_counter()
-    state, s = runj(state, wb_ri, mode, n=iters)
-    _sync(s)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+        t0 = time.perf_counter()
+        state, s = runj(state, wb_ri, mode, n=iters)
+        _sync(s)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     return T * iters / dt, {"channels": M, "block_T": T,
                             "iters": iters, "seconds": round(dt, 4)}
 
@@ -157,10 +163,13 @@ def bench_tx():
     state = jax.jit(lambda: chain.init_state(C))()
     state, s = runj(state, audio, words, mode, n=iters)
     _sync(s)
-    t0 = time.perf_counter()
-    state, s = runj(state, audio, words, mode, n=iters)
-    _sync(s)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+        t0 = time.perf_counter()
+        state, s = runj(state, audio, words, mode, n=iters)
+        _sync(s)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     return C * Ta * L * iters / dt, {"channels": C, "audio_T": Ta, "interp": L,
                                      "iters": iters, "seconds": round(dt, 4)}
 
@@ -204,10 +213,13 @@ def bench_duplex():
     state = jax.jit(lambda: duplex.init_state(C))()
     state, s = runj(state, iq_ri, audio, words, mode, n=iters)
     _sync(s)
-    t0 = time.perf_counter()
-    state, s = runj(state, iq_ri, audio, words, mode, n=iters)
-    _sync(s)
-    dt = time.perf_counter() - t0
+    dts = []
+    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+        t0 = time.perf_counter()
+        state, s = runj(state, iq_ri, audio, words, mode, n=iters)
+        _sync(s)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     return C * T * iters / dt, {"channels": C, "block_T": T, "rx_decim": rx_cfg.decim,
                                 "tx_interp": tx_cfg.interp, "iters": iters,
                                 "seconds": round(dt, 4)}

@@ -123,6 +123,51 @@ def _cmd_demo(args):
     return 0
 
 
+def _cmd_cat(args):
+    """Serve the Kenwood-dialect CAT protocol over TCP while a duplex
+    stream processes synthetic blocks — a rig-control client (hamlib,
+    wsjtx) can connect and tune/mode/key it live (`[U:usbd_*]` analog)."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from radioframe.api.cat import CatServer
+    from radioframe.api.cat_tcp import CatTcpServer
+    from radioframe.api.transceiver import Transceiver
+    from radioframe.core.config import RxConfig, TxConfig
+
+    trx = Transceiver(RxConfig(channels=1), TxConfig(channels=1))
+    chain = trx.chain.rx
+    B, fs = chain.min_block, trx.rx_cfg.fs_in
+    stop = threading.Event()
+
+    def stream():
+        rng = np.random.default_rng(0)
+        n = 0
+        while not stop.is_set():
+            t = (np.arange(B) + n * B) / fs
+            iq = (args.tone_amp * np.exp(2j * np.pi * args.tone * t)
+                  + 0.01 * (rng.standard_normal(B) + 1j * rng.standard_normal(B)))
+            trx.process(iq.astype(np.complex64)[None, :],
+                        np.zeros(B // trx.rx_cfg.decim, np.float32))
+            n += 1
+
+    th = threading.Thread(target=stream, daemon=True)
+    th.start()
+    with CatTcpServer(CatServer(trx), port=args.port) as srv:
+        print(f"CAT server on {srv.host}:{srv.port}  "
+              f"(synthetic tone at {args.tone:+.0f} Hz; ctrl-C to stop)")
+        try:
+            while True:
+                _time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+    stop.set()
+    th.join(timeout=5)
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="radioframe")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -153,9 +198,14 @@ def main(argv=None):
     demo.add_argument("--blocked", action="store_true")
     demo.add_argument("--snr", type=float, default=None)
 
+    cat = sub.add_parser("cat", help="serve CAT over TCP with a live stream")
+    cat.add_argument("--port", type=int, default=4532, help="0 = ephemeral")
+    cat.add_argument("--tone", type=float, default=39_000.0)
+    cat.add_argument("--tone-amp", type=float, default=0.3)
+
     args = ap.parse_args(argv)
     return {"info": _cmd_info, "rx": _cmd_rx, "tx": _cmd_tx, "decode": _cmd_decode,
-            "demo": _cmd_demo}[args.cmd](args)
+            "demo": _cmd_demo, "cat": _cmd_cat}[args.cmd](args)
 
 
 if __name__ == "__main__":
