@@ -42,8 +42,9 @@ def bench_adc_rate():
     NCO+CIC(32) front end. Returns input IQ samples/s/chip."""
     from radioframe.core import presets
 
-    C, iters = 128, 16  # 128 channels -> full lane tile (C=8 wastes 94% of
-    # the padded (Cp=128) kernel lanes: measured 0.59 vs 6.47 Gsps)
+    C, iters = 128, 64  # 128 channels -> full lane tile (C=8 wastes 94% of
+    # the padded (Cp=128) kernel lanes: measured 0.59 vs 6.47 Gsps);
+    # 64 iters: the ~25 ms tunnel round trip is per dispatch (probe_floor)
     cfg = presets.adc_61m44(channels=C, fuse_frontend=True, fuse_frontend_depth=2)
     chain = RxChain(cfg)
     T = chain.min_block  # 655360 input samples (R=1280 x hop 512)

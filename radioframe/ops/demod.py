@@ -187,6 +187,13 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     # within noise: the bank's cost is scans + stack/select HBM traffic,
     # not the gated transcendentals). Dense evaluation is the reliable
     # TPU-native shape here.
+    # Round-3 re-examination (ADVICE r2 #1 asked): the "corrupted blocks"
+    # are consistent with the SAME cold-start AGC amplification that made
+    # test_pipeline flaky (near-zero OLS warm-up x max-gain magnifies
+    # few-ulp fp differences ~1e7x), so the cond revert's correctness
+    # argument is weaker than written — but its perf argument held up, and
+    # the need is now served STATICALLY: ``enabled`` below removes unused
+    # demods at trace time with no control flow at all.
     # Selection by masked SUM, not stack + take_along_axis: exactly one mask
     # is hot per channel so the result is bit-identical, but the wheres fuse
     # into the demod arithmetic — no (6, C, T) array is ever materialized.

@@ -21,7 +21,8 @@ from radioframe.pipelines.channelizer import (ChannelizerChain,
 M, ITERS = 4096, 128
 cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                         emit_spectrum=True, waterfall_from_pfb=True,
-                        waterfall_frame_avg=16)
+                        waterfall_frame_avg=16, fuse_pfb=True,
+                        enabled_modes=(0, 1, 2, 3))
 chain = ChannelizerChain(cfg)
 T = 128 * chain.min_block
 F = T // M
