@@ -222,3 +222,36 @@ class TestSamSquelch:
         for _ in range(6):
             st, audio, _ = step(st, jnp.asarray(iq[None, :]), words, mode)
         assert np.mean(np.abs(np.asarray(audio))) > 0.05, "squelch failed to open"
+
+
+class TestEnabledModesRx:
+    def test_subset_matches_full_bank(self, rng):
+        """RxConfig.enabled_modes: identical audio for channels on enabled
+        modes, sharded variant included (static gating, no control flow)."""
+        import jax
+        from jax import numpy as jnp
+
+        from radioframe.shard.rx import ShardedRxChain
+
+        C = 4
+        full_cfg = RxConfig(channels=C, ols_hop=512)
+        sub_cfg = RxConfig(channels=C, ols_hop=512, enabled_modes=(0, 1, 2, 3))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        words = jnp.asarray(nco.freq_word(np.linspace(-50e3, 50e3, C), FS))
+        chain_f = RxChain(full_cfg)
+        T = 2 * chain_f.min_block
+        iq = jnp.asarray((rng.standard_normal((C, T))
+                          + 1j * rng.standard_normal((C, T))).astype(np.complex64))
+        outs = []
+        for cfg in (full_cfg, sub_cfg):
+            ch = RxChain(cfg)
+            st, audio, _ = jax.jit(ch.step)(ch.init_state(C), iq, words, mode)
+            outs.append(np.asarray(audio))
+        np.testing.assert_array_equal(outs[0], outs[1])
+        # sharded subset == unsharded subset
+        ch = RxChain(sub_cfg)
+        mesh = jax.make_mesh((2, 2), ("channel", "time"), devices=jax.devices()[:4])
+        sh = ShardedRxChain(ch, mesh)
+        st2, audio_sh, _ = jax.jit(sh.step)(ch.init_state(C), iq, words, mode)
+        np.testing.assert_allclose(np.asarray(audio_sh)[:, 512:],
+                                   outs[1][:, 512:], atol=2e-4)
