@@ -56,7 +56,7 @@ class CatTcpServer:
         self._stop.set()
         if self._sock is not None:
             self._sock.close()
-        for t in self._threads:
+        for t in list(self._threads):  # accept loop may still append briefly
             t.join(timeout=2.0)
         self._threads.clear()
 
@@ -80,6 +80,9 @@ class CatTcpServer:
             t = threading.Thread(target=self._client_loop, args=(conn,),
                                  daemon=True)
             t.start()
+            # prune finished client threads so long-lived servers with
+            # reconnecting clients (hamlib polling) don't accumulate them
+            self._threads[:] = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     def _client_loop(self, conn: socket.socket):

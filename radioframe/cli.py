@@ -130,7 +130,16 @@ def _cmd_cat(args):
     import threading
     import time as _time
 
+    import jax
     import numpy as np
+
+    # the axon tunnel cannot transfer complex64 host<->device (ROADMAP
+    # bench notes); this control-plane demo pins the chain to CPU — set
+    # RADIOFRAME_CAT_DEVICE=default to use the session's default backend
+    import os as _os
+
+    if _os.environ.get("RADIOFRAME_CAT_DEVICE", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from radioframe.api.cat import CatServer
     from radioframe.api.cat_tcp import CatTcpServer
@@ -141,6 +150,11 @@ def _cmd_cat(args):
     chain = trx.chain.rx
     B, fs = chain.min_block, trx.rx_cfg.fs_in
     stop = threading.Event()
+    srv = CatTcpServer(CatServer(trx), port=args.port)
+    # warm the jit before serving so the first client command never waits
+    # behind a multi-second compile inside the dispatch lock
+    trx.process(np.zeros((1, B), np.complex64),
+                np.zeros(B // trx.rx_cfg.decim, np.float32))
 
     def stream():
         rng = np.random.default_rng(0)
@@ -149,13 +163,16 @@ def _cmd_cat(args):
             t = (np.arange(B) + n * B) / fs
             iq = (args.tone_amp * np.exp(2j * np.pi * args.tone * t)
                   + 0.01 * (rng.standard_normal(B) + 1j * rng.standard_normal(B)))
-            trx.process(iq.astype(np.complex64)[None, :],
-                        np.zeros(B // trx.rx_cfg.decim, np.float32))
+            # hold the CAT dispatch lock for the control-plane snapshot so a
+            # multi-part command (FA...;MD...;) never half-applies to a block
+            with srv.lock:
+                trx.process(iq.astype(np.complex64)[None, :],
+                            np.zeros(B // trx.rx_cfg.decim, np.float32))
             n += 1
 
     th = threading.Thread(target=stream, daemon=True)
     th.start()
-    with CatTcpServer(CatServer(trx), port=args.port) as srv:
+    with srv:
         print(f"CAT server on {srv.host}:{srv.port}  "
               f"(synthetic tone at {args.tone:+.0f} Hz; ctrl-C to stop)")
         try:

@@ -57,11 +57,13 @@ def ft8_tables() -> dict | None:
     from radioframe.ops.fec import gf2_inv
 
     H = np.asarray(t["ldpc_h"], dtype=np.uint8)
-    assert H.shape == (83, 174), f"ldpc_h shape {H.shape} != (83, 174)"
+    if H.shape != (83, 174):  # raise (not assert): must survive python -O
+        raise ValueError(f"ldpc_h shape {H.shape} != (83, 174)")
     t["ldpc_h"] = H
     t["hp_inv"] = gf2_inv(H[:, 91:])  # raises if parity part singular
     t["crc_poly"] = int(t["crc_poly"])
-    assert 0 < t["crc_poly"] < (1 << 14)
+    if not 0 < t["crc_poly"] < (1 << 14):
+        raise ValueError(f"crc_poly {t['crc_poly']:#x} not a 14-bit polynomial")
     return t
 
 
@@ -70,6 +72,7 @@ def wspr_tables() -> dict | None:
     if t is None:
         return None
     sync = np.asarray(t["sync"], dtype=np.uint8)
-    assert sync.shape == (162,) and set(np.unique(sync)) <= {0, 1}
+    if sync.shape != (162,) or not set(np.unique(sync)) <= {0, 1}:
+        raise ValueError("wspr sync must be a (162,) binary vector")
     t["sync"] = sync
     return t

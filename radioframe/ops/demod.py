@@ -205,8 +205,12 @@ def bank_apply(state, x, mode, cw_tone_word, fs: float, nfm_deviation_hz: float 
     nfm_last = state["nfm_last"]
     sam_dc, sam_carrier = state["sam_dc"], state["sam_carrier"]
     if en & {SSB, LSB}:
-        # LSB demod is the same 2*Re after its (negative-band) mode filter
-        sel = sel + jnp.where((m == SSB) | (m == LSB), demod_ssb(x), 0.0)
+        # LSB demod is the same 2*Re after its (negative-band) mode filter;
+        # the mask honors the subset per mode (enabling one must not un-mute
+        # channels that selected the other, disabled, one)
+        ssb_mask = (m == SSB) if SSB in en else jnp.zeros_like(m, bool)
+        lsb_mask = (m == LSB) if LSB in en else jnp.zeros_like(m, bool)
+        sel = sel + jnp.where(ssb_mask | lsb_mask, demod_ssb(x), 0.0)
     if CW in en:
         y_cw, cw_phase = demod_cw(state["cw_phase"], x, cw_tone_word)
         sel = sel + jnp.where(m == CW, y_cw, 0.0)

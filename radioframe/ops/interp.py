@@ -5,14 +5,16 @@ Semantics match golden ``interpolate``: u[mL] = x[m] (else 0),
 y[n] = sum_k h[k] u[n-k]; a block of T inputs yields T*L outputs
 y[n0 .. n0+T*L-1]. State = last ceil((Lh-1)/L) input samples.
 
-Formulation (round 3): EXPLICIT polyphase as phases-in-lanes shifted adds:
-y[qL + p] = sum_j h[jL + p] x[q - j], computed as J+1 broadcast
-multiply-adds of (C, T) input slices into a (C, T, L) accumulator that
-XLA fuses into one output-rate pass, then a free row-major reshape to
-(C, T*L). The previous ``lhs_dilation`` conv was measured ~20x off the
-write bound at L=1280 stage chains: XLA:TPU does NOT polyphase-optimize
-dilated convs — it runs all Lh taps at the DILATED rate (tools/
-probe_interp.py; 8.1 -> ~0.6 ms/block for the tx_adc_61m44 plan).
+Formulation (round 3): EXPLICIT polyphase y[qL + p] = sum_j h[jL + p]
+x[q - j] as ONE MXU contraction — the J+1 shifted INPUT-rate views are
+stacked (1/L the output bytes, ~free) and contracted against the (J+1, L)
+polyphase tap matrix, so the output-rate array is written exactly once.
+Two rejected variants, measured (tools/probe_tx.py): the ``lhs_dilation``
+conv runs all Lh taps at the DILATED rate (XLA:TPU does not polyphase-
+optimize transposed convs; ~20x the write bound on the tx_adc_61m44
+plan), and a J+1-term broadcast-accumulate makes XLA materialize the
+(C, T, L) accumulator once per term (~5x the write traffic). The
+contraction form took the full TX chain 13.6 -> 5.0 ms/iter.
 """
 
 from __future__ import annotations

@@ -70,7 +70,9 @@ class PfbChannelizer:
         # DFT across phases (type-1 polyphase -> channel c at +c*fs/M)
         y = jnp.fft.fft(lax.complex(ur, ui), axis=-1)  # (B, F, M), contiguous
         y = jnp.moveaxis(y, -1, 1).astype(jnp.complex64)  # (B, M, F)
-        # tail = last (K-1)*M input samples (handles T < (K-1)*M by keeping
-        # the needed suffix of the previous tail too)
-        new_tail = lax.complex(frr, fri).reshape(B, -1)[:, -(self.K - 1) * self.M:]
+        # tail = last (K-1)*M input samples, complexified from the SLICED
+        # frames only (complexifying the whole block would re-materialize
+        # the interleaved c64 array the planes split exists to avoid)
+        new_tail = lax.complex(frr[:, F:], fri[:, F:]).reshape(
+            B, (self.K - 1) * self.M)
         return y, new_tail

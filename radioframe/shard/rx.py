@@ -202,8 +202,11 @@ class ShardedRxChain:
         audio = jnp.zeros(sel.shape, jnp.float32)
         if en & {demod_op.SSB, demod_op.LSB}:
             y_ssb = demod_op.demod_ssb(sel)
-            audio = audio + jnp.where(
-                (m_sel == demod_op.SSB) | (m_sel == demod_op.LSB), y_ssb, 0.0)
+            ssb_m = ((m_sel == demod_op.SSB) if demod_op.SSB in en
+                     else jnp.zeros_like(m_sel, bool))
+            lsb_m = ((m_sel == demod_op.LSB) if demod_op.LSB in en
+                     else jnp.zeros_like(m_sel, bool))
+            audio = audio + jnp.where(ssb_m | lsb_m, y_ssb, 0.0)
 
         cw_word = jnp.full(sel.shape[0], chain.cw_tone_word, jnp.int32)
         new_cw = state["demod"]["cw_phase"]
