@@ -45,7 +45,8 @@ def bench_adc_rate():
     C, iters = 128, 64  # 128 channels -> full lane tile (C=8 wastes 94% of
     # the padded (Cp=128) kernel lanes: measured 0.59 vs 6.47 Gsps);
     # 64 iters: the ~25 ms tunnel round trip is per dispatch (probe_floor)
-    cfg = presets.adc_61m44(channels=C, fuse_frontend=True, fuse_frontend_depth=2)
+    cfg = presets.adc_61m44(channels=C, fuse_frontend=True, fuse_frontend_depth=2,
+                            enabled_modes=(0, 1, 2, 3))
     chain = RxChain(cfg)
     T = chain.min_block  # 655360 input samples (R=1280 x hop 512)
     rng = np.random.default_rng(1)
@@ -186,7 +187,8 @@ def bench_duplex():
     rx_cfg = RxConfig(
         fs_in=1_536_000.0, channels=C,
         stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
-        ols_hop=512, fuse_frontend=True, fuse_frontend_depth=2)
+        ols_hop=512, fuse_frontend=True, fuse_frontend_depth=2,
+        enabled_modes=(0, 1, 2, 3))
     from radioframe.core.config import TxConfig
 
     tx_cfg = TxConfig(fs_out=1_536_000.0, channels=C,
@@ -237,6 +239,7 @@ def main():
         ols_hop=512,
         fuse_frontend=True,      # fused NCO+CIC(+comp FIR) Pallas front end
         fuse_frontend_depth=2,   # stage 2 consumed in-VMEM (fused_frontend2)
+        enabled_modes=(0, 1, 2, 3),  # bench population is SSB/CW/AM/NFM
     )
     chain = RxChain(cfg)
     T = 8 * chain.min_block
