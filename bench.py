@@ -96,6 +96,7 @@ def bench_channelizer():
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
+                            fuse_demod=True,
                             # the bench population runs SSB/CW/AM/NFM; the
                             # static mode subset (a config choice, like the
                             # reference's mode menu) skips compiling SAM/LSB

@@ -1,0 +1,250 @@
+"""Pallas TPU kernel: fused demod bank + AGC for the channelizer back end.
+
+After kernels/pfb_dft.py, the channelizer's remaining cost is the audio
+stage: the XLA demod bank + AGC makes ~6 full-rate passes over the (M, F)
+channel matrix (CW oscillator materialization, AM envelope + DC scan, NFM
+conjugate product + atan2, masked select, AGC envelope scans). Here one
+kernel reads the channel planes ONCE in frame-major (F, M) layout —
+channels on lanes, frames on sublanes/grid — and produces the selected,
+AGC'd audio plus the per-channel power and (optionally) averaged
+waterfall power lines.
+
+Per-sample recursions stay EXACT across the sequential grid:
+
+- AM DC block (y[f] = e[f] - e[f-1] + a y[f-1]): within-tile prefix by one
+  lower-triangular a^{g-j} matmul on the MXU (the ops/scans.py round-3
+  trick, in-kernel), carry in VMEM scratch.
+- AGC release max-decay: global a^{-f} rescale inside the tile -> log-step
+  shifted-max cummax over sublanes, carry in scratch.
+- NFM discriminator: one-frame lookback from scratch.
+- CW beat tone: int32 DDS angles computed per frame index (all channels
+  share the tone word, but the kernel keeps the general per-channel form).
+
+SAM needs whole-block statistics (two-pass) and is NOT supported here —
+the chain falls back to the dense XLA bank when SAM is enabled. Per-mode
+AGC constants arrive pre-gathered per channel (host-side table lookup),
+so there is no in-kernel gather. Attack smoothing must be instant
+(alpha = 0, the channelizer default); hang must be disabled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radioframe.ops import demod as demod_op
+
+_SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
+_DC_POLE = 0.995  # dc_block default pole (ops/demod.py)
+
+# odd minimax polynomial for atan on [0, 1], |err| < 1e-7 (Hart-style);
+# Pallas TPU has no atan2 primitive, so the kernel builds it from this
+_ATAN_C = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+           0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
+
+
+def _atan2(y, x):
+    """Elementwise atan2 from mul/add/select only (Pallas-lowerable)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    t = lo / jnp.maximum(hi, 1e-30)
+    s = t * t
+    p = jnp.float32(_ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + jnp.float32(c)
+    r = p * t  # atan(t), t in [0, 1]
+    r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
+    r = jnp.where(x < 0, jnp.float32(np.pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
+            en_nfm,
+            yr_ref, yi_ref, mode_ref, cw_word_ref, cw_acc_ref, rel_ref,
+            tgt_ref, mg_ref, ltri_ref, st_in_ref,
+            audio_ref, wf_ref, st_out_ref, carry_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _seed():
+        # carry rows: [0]=am x_prev, [1]=am y_prev, [2]=nfm_last re,
+        # [3]=nfm_last im, [4]=agc env, [5]=power accum
+        carry_ref[...] = st_in_ref[...]
+
+    xr = yr_ref[...]  # (TF, M)
+    xi = yi_ref[...]
+    mode = mode_ref[...]  # (1, M) int32
+    audio = jnp.zeros((TF, M), jnp.float32)
+
+    # --- SSB / LSB: 2*Re -------------------------------------------------
+    if en_ssb or en_lsb:
+        mask = jnp.zeros((1, M), jnp.bool_)
+        if en_ssb:
+            mask = mask | (mode == demod_op.SSB)
+        if en_lsb:
+            mask = mask | (mode == demod_op.LSB)
+        audio = audio + jnp.where(mask, 2.0 * xr, 0.0)
+
+    # --- CW: beat-tone mix up (int32 DDS angles at frame index) ----------
+    if en_cw:
+        g = (i * TF) + jax.lax.broadcasted_iota(jnp.int32, (TF, M), 0)
+        ang = (cw_acc_ref[...] + cw_word_ref[...] * g).astype(jnp.float32) * _SCALE
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        y_cw = 2.0 * (xr * c - xi * s)
+        audio = audio + jnp.where(mode == demod_op.CW, y_cw, 0.0)
+
+    # --- AM: envelope + DC block (triangular-matmul prefix) --------------
+    if en_am:
+        env = jnp.sqrt(xr * xr + xi * xi)
+        xprev = jnp.concatenate([carry_ref[0:1], env[: TF - 1]], axis=0)
+        b = env - xprev
+        a = jnp.float32(_DC_POLE)
+        f = jax.lax.broadcasted_iota(jnp.int32, (TF, 1), 0).astype(jnp.float32)
+        # ltri[g, j] = a^{g-j} (j <= g) already encodes the decay:
+        # y[g] = sum_j a^{g-j} b[j] + a^{g+1} carry
+        pref = jax.lax.dot_general(ltri_ref[...], b, (((1,), (0,)), ((), ())),
+                                   precision=lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+        y_am = pref + carry_ref[1:2] * (a ** (f + 1.0))
+        carry_ref[0:1] = env[TF - 1: TF]
+        carry_ref[1:2] = y_am[TF - 1: TF]
+        audio = audio + jnp.where(mode == demod_op.AM, y_am, 0.0)
+
+    # --- NFM: discriminator with one-frame lookback ----------------------
+    if en_nfm:
+        pr = jnp.concatenate([carry_ref[2:3], xr[: TF - 1]], axis=0)
+        pi = jnp.concatenate([carry_ref[3:4], xi[: TF - 1]], axis=0)
+        dr = xr * pr + xi * pi
+        di = xi * pr - xr * pi
+        y_nfm = _atan2(di, dr) * jnp.float32(dev_scale)
+        carry_ref[2:3] = xr[TF - 1: TF]
+        carry_ref[3:4] = xi[TF - 1: TF]
+        audio = audio + jnp.where(mode == demod_op.NFM, y_nfm, 0.0)
+
+    # --- AGC: release max-decay (rescale + log-step cummax), instant attack
+    mag = jnp.abs(audio)
+    rel = rel_ref[...]  # (1, M) per-channel release decay
+    f1 = jax.lax.broadcasted_iota(jnp.int32, (TF, 1), 0).astype(jnp.float32)
+    w = mag * (rel ** (-f1))
+    # cummax over the frame (sublane) axis via log-step shifted maxes
+    k = 1
+    while k < TF:
+        shifted = jnp.concatenate(
+            [jnp.full((k, M), -np.inf, jnp.float32), w[: TF - k]], axis=0)
+        w = jnp.maximum(w, shifted)
+        k *= 2
+    env_r = w * (rel ** f1)
+    env_r = jnp.maximum(env_r, carry_ref[4:5] * (rel ** (f1 + 1.0)))
+    carry_ref[4:5] = env_r[TF - 1: TF]
+    gain = jnp.minimum(mg_ref[...], tgt_ref[...] / jnp.maximum(env_r, 1e-9))
+    agc_audio = audio * gain
+    audio_ref[...] = jnp.where(mode == demod_op.NFM, audio, agc_audio)
+
+    # --- aux: power accumulation + averaged waterfall power --------------
+    p = xr * xr + xi * xi
+    carry_ref[5:6] = carry_ref[5:6] + jnp.sum(p, axis=0, keepdims=True)
+    wf_ref[...] = jnp.mean(p.reshape(TF // wf_avg, wf_avg, M), axis=1)[None]
+
+    @pl.when(i == grid - 1)
+    def _emit_state():
+        st_out_ref[...] = carry_ref[...]
+
+
+class FusedDemodAgc:
+    """Channelizer back end: (state, yr/yi (F, M) frame-major planes,
+    mode (M,), per-channel AGC constants) -> (audio (F, M), aux, state').
+
+    Supports modes {SSB, CW, AM, NFM, LSB}; instant-attack, no-hang AGC.
+    """
+
+    MAX_GRID = 256
+
+    def __init__(self, M: int, fs_channel: float, nfm_deviation_hz: float,
+                 wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
+                 interpret: bool = False):
+        self.M = int(M)
+        self.fs = float(fs_channel)
+        self.dev_scale = float(fs_channel / (2.0 * np.pi * nfm_deviation_hz))
+        self.wf_avg = max(1, int(wf_avg))
+        en = frozenset(map(int, enabled))
+        assert demod_op.SAM not in en, "SAM needs the dense XLA bank"
+        self.en = en
+        self.interpret = interpret
+
+    def _pick_tf(self, F: int) -> int:
+        cap = max(8, min(128, (64 * 4096) // self.M))
+        tf = 1
+        while tf * 2 <= min(F, cap) and F % (tf * 2) == 0:
+            tf *= 2
+        if self.wf_avg:
+            assert tf % self.wf_avg == 0, (tf, self.wf_avg)
+        return tf
+
+    def __call__(self, yr, yi, mode, cw_word, cw_acc, rel, tgt, mg, st_in):
+        """st_in: (6, M) f32 carry rows [am_x, am_y, nfm_re, nfm_im, env,
+        power(ignored on input, zeros)]. Returns (audio (F, M) f32,
+        power (M,), wf_power ((F/avg, M) or None), st_out (6, M))."""
+        F, M = yr.shape
+        TF = self._pick_tf(F)
+        grid = F // TF
+        assert grid <= self.MAX_GRID, "chunk longer blocks upstream"
+        ltri = np.tril(_DC_POLE ** (np.subtract.outer(np.arange(TF),
+                                                      np.arange(TF)))
+                       ).astype(np.float32)
+        en = self.en
+        kern = functools.partial(
+            _kernel, TF, M, grid, self.fs, self.dev_scale, self.wf_avg,
+            demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
+            demod_op.AM in en, demod_op.NFM in en)
+        row = lambda a, dt: jnp.asarray(a, dt).reshape(1, M)
+        wf_rows = F // self.wf_avg
+        wf_block = TF // self.wf_avg
+        audio, wf, st_out = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TF, M), lambda i: (i, 0)),
+                pl.BlockSpec((TF, M), lambda i: (i, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((TF, TF), lambda i: (0, 0)),
+                pl.BlockSpec((6, M), lambda i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TF, M), lambda i: (i, 0)),
+                # 3D with a leading grid dim: the (wf_block, M) trailing
+                # dims match the array exactly (tiling rule: last two dims
+                # div-by-(8,128) OR equal to the array dims)
+                pl.BlockSpec((1, wf_block, M), lambda i: (i, 0, 0)),
+                pl.BlockSpec((6, M), lambda i: (0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((F, M), jnp.float32),
+                jax.ShapeDtypeStruct((grid, wf_block, M), jnp.float32),
+                jax.ShapeDtypeStruct((6, M), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((6, M), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=32 * 1024 * 1024),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=30 * F * M, bytes_accessed=3 * F * M * 4,
+                transcendentals=2 * F * M),
+        )(yr, yi, row(mode, jnp.int32), row(cw_word, jnp.int32),
+          row(cw_acc, jnp.int32), row(rel, jnp.float32),
+          row(tgt, jnp.float32), row(mg, jnp.float32),
+          jnp.asarray(ltri), st_in.astype(jnp.float32))
+        wf = wf.reshape(wf_rows, M)
+        return audio, st_out[5], wf, st_out

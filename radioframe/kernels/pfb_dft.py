@@ -138,6 +138,14 @@ class FusedPfbDft:
         return tf
 
     def __call__(self, tail, x):
+        """Channel-major complex contract (ops/pfb interface)."""
+        (yr, yi), new_tail = self.call_planes(tail, x)
+        y = jnp.moveaxis(lax.complex(yr, yi), 0, -1)[None]  # (1, M, F)
+        return y.astype(jnp.complex64), new_tail
+
+    def call_planes(self, tail, x):
+        """Frame-major planes contract for fused back ends
+        (kernels/demod_agc.py): -> ((yr, yi) each (F, M) f32, new_tail)."""
         B, T = x.shape
         assert B == 1 and T % self.M == 0
         K, M = self.K, self.M
@@ -147,11 +155,13 @@ class FusedPfbDft:
         assert grid * TF == F
         if grid > self.MAX_GRID:  # sequential chunking, same state contract
             chunk_T = self.MAX_GRID * TF * M
-            ys = []
+            yrs, yis = [], []
             for t0 in range(0, T, chunk_T):
-                y, tail = self(tail, x[:, t0: t0 + chunk_T])
-                ys.append(y)
-            return jnp.concatenate(ys, axis=-1), tail
+                (yr, yi), tail = self.call_planes(tail, x[:, t0: t0 + chunk_T])
+                yrs.append(yr)
+                yis.append(yi)
+            return (jnp.concatenate(yrs, axis=0),
+                    jnp.concatenate(yis, axis=0)), tail
 
         M1, M2 = self.M1, self.M2
         # host-side 3D shaping: row-major (F, M) -> (F, M1, M2) is free and
@@ -200,9 +210,8 @@ class FusedPfbDft:
           c(self._w2r), c(self._w2i), c(self._twr), c(self._twi))
 
         # kernel emits (F, k1, k2); flat channel index is k = M1*k2 + k1
-        yc = lax.complex(yr, yi)
-        yc = jnp.transpose(yc, (0, 2, 1)).reshape(F, M)
-        y = jnp.moveaxis(yc, 0, -1)[None]  # (1, M, F)
+        yr = jnp.transpose(yr, (0, 2, 1)).reshape(F, M)
+        yi = jnp.transpose(yi, (0, 2, 1)).reshape(F, M)
         new_tail = x[:, T - (K - 1) * M:] if T >= (K - 1) * M else (
             jnp.concatenate([tail, x], axis=-1)[:, -(K - 1) * M:])
-        return y.astype(jnp.complex64), new_tail
+        return (yr, yi), new_tail

@@ -9,6 +9,7 @@ from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from radioframe.core.config import AgcConfig
 from radioframe.ops import agc as agc_op
@@ -49,6 +50,12 @@ class ChannelizerConfig:
     # the polyphase accumulate + Cooley-Tukey MXU DFT. pow2 M only;
     # interpret-mode on CPU (parity-tested), compiled on TPU
     fuse_pfb: bool = False
+    # fused Pallas demod+AGC back end (kernels/demod_agc.py): consumes the
+    # PFB kernel's frame-major planes directly — the (M, F) complex channel
+    # matrix is never materialized. Requires fuse_pfb, waterfall_from_pfb,
+    # enabled_modes without SAM, instant-attack/no-hang AGC; the sharded
+    # channelizer keeps the dense bank (all_to_all hands it channel-major)
+    fuse_demod: bool = False
 
     @property
     def fs_channel(self) -> float:
@@ -92,6 +99,25 @@ class ChannelizerChain:
         if cfg.waterfall_from_pfb and cfg.waterfall_frame_avg > 1:
             self.min_block = int(np.lcm(self.min_block,
                                         cfg.num_channels * cfg.waterfall_frame_avg))
+        self.demod_kernel = None
+        if cfg.fuse_demod:
+            import jax as _jax
+
+            from radioframe.kernels.demod_agc import FusedDemodAgc
+
+            assert cfg.fuse_pfb, "fuse_demod consumes the PFB kernel's planes"
+            assert cfg.emit_spectrum and cfg.waterfall_from_pfb, (
+                "fuse_demod emits the waterfall from the kernel's power pass")
+            en = (cfg.enabled_modes if cfg.enabled_modes is not None
+                  else tuple(range(n_modes)))
+            assert demod_op.SAM not in en, (
+                "fuse_demod: SAM needs whole-block stats; use the dense bank")
+            assert not self.agc_bank.alpha.any() and self.agc_bank.hist_len == 0, (
+                "fuse_demod AGC is instant-attack / no-hang")
+            self.demod_kernel = FusedDemodAgc(
+                cfg.num_channels, cfg.fs_channel, cfg.nfm_deviation_hz,
+                wf_avg=cfg.waterfall_frame_avg, enabled=en,
+                interpret=_jax.default_backend() == "cpu")
 
     def init_state(self):
         M = self.cfg.num_channels
@@ -109,6 +135,8 @@ class ChannelizerChain:
     def step(self, state, wideband, mode):
         cfg = self.cfg
         M = cfg.num_channels
+        if self.demod_kernel is not None:
+            return self._step_fused(state, wideband, mode)
         chans, pfb_tail = self.pfb(state["pfb"], wideband[None, :])  # (1, M, F)
         chans = chans[0]  # (M, F)
         cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
@@ -126,4 +154,37 @@ class ChannelizerChain:
                 lines, spec_prev = self.spectrum(state["spec"], wideband[None, :])
                 aux["waterfall"] = lines[0]  # (F_spec, nfft)
         new_state = {"pfb": pfb_tail, "demod": demod_state, "agc": agc_env, "spec": spec_prev}
+        return new_state, audio, aux
+
+    def _step_fused(self, state, wideband, mode):
+        """Fully-kernelized path: PFB planes feed the demod+AGC kernel; the
+        (M, F) complex channel matrix is never materialized. Numerically
+        matches the dense path within fp tolerance (tests/test_channelizer
+        TestFusedDemodAgc)."""
+        cfg = self.cfg
+        M = cfg.num_channels
+        (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"], wideband[None, :])
+        F = yr.shape[0]
+        d = state["demod"]
+        st_in = jnp.stack([
+            d["am_dc"][0], d["am_dc"][1],
+            jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
+            state["agc"]["env"], jnp.zeros((M,), jnp.float32)])
+        cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
+        rel, _al, tgt, mg = self.agc_bank.per_channel(mode)
+        audio_fm, power_sum, wfp, st_out = self.demod_kernel(
+            yr, yi, mode, cw_word, d["cw_phase"], rel, tgt, mg, st_in)
+        audio = audio_fm.T  # (M, F)
+        aux = {"channel_power": power_sum / jnp.float32(F)}
+        db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
+        aux["waterfall"] = jnp.roll(db, M // 2, axis=-1)  # (F/avg, M)
+        new_demod = {
+            "cw_phase": d["cw_phase"] + cw_word * jnp.int32(F),
+            "am_dc": jnp.stack([st_out[0], st_out[1]]),
+            "nfm_last": lax.complex(st_out[2], st_out[3]),
+            "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"],
+        }
+        new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[4]}
+        new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
+                     "spec": state["spec"]}
         return new_state, audio, aux

@@ -334,3 +334,61 @@ class TestFusedPfbDft:
         W = chain.pfb.K
         np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
+
+
+class TestFusedDemodAgc:
+    """kernels/demod_agc.py fully-kernelized back end == dense XLA path
+    (interpret mode on CPU): audio, waterfall, channel power, all states."""
+
+    def _cfgs(self, M):
+        base = dict(fs_in=64_000.0 * M, num_channels=M, emit_spectrum=True,
+                    waterfall_from_pfb=True, waterfall_frame_avg=4,
+                    fuse_pfb=True, enabled_modes=(0, 1, 2, 3))
+        return (ChannelizerConfig(**base),
+                ChannelizerConfig(**base, fuse_demod=True))
+
+    def test_matches_dense_path(self, rng):
+        M = 64
+        dense_cfg, fused_cfg = self._cfgs(M)
+        dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
+        T = 4 * dense.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st = dense.init_state()
+        st_d, a_d, x_d = jax.jit(dense.step)(st, jnp.asarray(wide), mode)
+        st2 = fused.init_state()
+        st_f, a_f, x_f = jax.jit(fused.step)(st2, jnp.asarray(wide), mode)
+        W = dense.pfb.K
+        np.testing.assert_allclose(np.asarray(a_f)[:, W:], np.asarray(a_d)[:, W:],
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(x_f["waterfall"]),
+                                   np.asarray(x_d["waterfall"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(x_f["channel_power"]),
+                                   np.asarray(x_d["channel_power"]), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(st_f["agc"]["env"]),
+                                   np.asarray(st_d["agc"]["env"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_f["demod"]["am_dc"]),
+                                   np.asarray(st_d["demod"]["am_dc"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_f["demod"]["nfm_last"]),
+                                   np.asarray(st_d["demod"]["nfm_last"]), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(st_f["demod"]["cw_phase"]),
+                                      np.asarray(st_d["demod"]["cw_phase"]))
+
+    def test_streaming_matches_dense(self, rng):
+        M = 32
+        dense_cfg, fused_cfg = self._cfgs(M)
+        dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
+        T = 4 * dense.min_block
+        wide = _wideband(rng, 2 * T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        outs = []
+        for chain in (dense, fused):
+            st = chain.init_state()
+            step = jax.jit(chain.step)
+            audios = []
+            for b in np.split(wide, 2):
+                st, a, _ = step(st, jnp.asarray(b), mode)
+                audios.append(np.asarray(a))
+            outs.append(np.concatenate(audios, axis=-1))
+        W = dense.pfb.K
+        np.testing.assert_allclose(outs[1][:, W:], outs[0][:, W:], atol=2e-4)
