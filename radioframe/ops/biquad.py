@@ -23,7 +23,10 @@ def _compose(left, right):
     Al, bl = left
     Ar, br = right
     # state maps: s -> Ar @ (Al @ s + bl) + br
-    return jnp.einsum("...ij,...jk->...ik", Ar, Al), jnp.einsum("...ij,...j->...i", Ar, bl) + br
+    # HIGHEST: TPU einsum default is bf16 — composed 2x2 state maps feed an
+    # IIR whose poles sit near |z|=1, where mantissa loss turns into drift
+    return (jnp.einsum("...ij,...jk->...ik", Ar, Al, precision="highest"),
+            jnp.einsum("...ij,...j->...i", Ar, bl, precision="highest") + br)
 
 
 class Biquad:
@@ -58,7 +61,7 @@ class Biquad:
         bvec = x[..., None] * jnp.asarray(self.B)  # (C, T, 2)
         As, bs = lax.associative_scan(_compose, (A, bvec), axis=1)
         # s[n] = As[n] @ s0 + bs[n]
-        s = jnp.einsum("ctij,cj->cti", As, s0) + bs
+        s = jnp.einsum("ctij,cj->cti", As, s0, precision="highest") + bs
         s_prev = jnp.concatenate([s0[:, None, :], s[:, :-1, :]], axis=1)
         y = self.b0 * x + s_prev[..., 0]
         return y, s[:, -1, :]

@@ -148,7 +148,8 @@ def ldpc_decode_minsum(H: np.ndarray, llr, iters: int = 30, scale: float = 0.75)
     (c2v,) = jax.lax.fori_loop(0, iters, step, init)
     total = llr + jnp.sum(c2v * Hm, axis=-2)
     hard = (total < 0).astype(jnp.int8)
-    syndrome = jnp.einsum("...n,rn->...r", hard.astype(jnp.float32), Hm)
+    syndrome = jnp.einsum("...n,rn->...r", hard.astype(jnp.float32), Hm,
+                          precision="highest")  # exact 0/1 counts, not bf16
     ok = jnp.all(jnp.mod(syndrome, 2.0) < 0.5, axis=-1)
     return hard, ok
 

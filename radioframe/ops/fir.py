@@ -57,6 +57,9 @@ class FirDecimator:
             out = lax.conv_general_dilated(
                 lhs, rhs, window_strides=(self.R,), padding="VALID",
                 dimension_numbers=dn, preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,  # TPU conv default is bf16:
+                # measured 2e-3 abs err on the dense reference path
+                # (tools/verify_tpu.py round 4) — DSP accuracy needs f32
             )  # (C, 2, M)
             y = lax.complex(out[:, 0, :], out[:, 1, :])
         else:
@@ -65,6 +68,7 @@ class FirDecimator:
                 lhs, rhs, window_strides=(self.R,), padding="VALID",
                 dimension_numbers=dn, feature_group_count=2,
                 preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,  # see above: f32, not bf16
             )  # (C, 2, M)
             y = lax.complex(out[:, 0, :], out[:, 1, :])
         new_tail = xp[:, xp.shape[-1] - (self.L - 1):] if self.L > 1 else xp[:, :0]
