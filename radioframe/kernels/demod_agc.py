@@ -173,13 +173,32 @@ class FusedDemodAgc:
         self.fs = float(fs_channel)
         self.dev_scale = float(fs_channel / (2.0 * np.pi * nfm_deviation_hz))
         self.wf_avg = max(1, int(wf_avg))
+        # VMEM frame-tile cap; _pick_tf returns a power of two <= this
+        self.max_tf = max(8, min(128, (64 * 4096) // self.M))
+        if (self.wf_avg & (self.wf_avg - 1)) or self.wf_avg > self.max_tf:
+            # ADVICE r3: validate here with a real error instead of crashing
+            # at step time on the tf % wf_avg internal assert
+            raise ValueError(
+                f"waterfall_frame_avg={self.wf_avg} must be a power of two "
+                f"<= {self.max_tf} (the fused kernel's VMEM frame-tile cap "
+                f"at M={self.M}); use the dense waterfall_from_pfb path for "
+                "other averaging factors")
         en = frozenset(map(int, enabled))
         assert demod_op.SAM not in en, "SAM needs the dense XLA bank"
         self.en = en
         self.interpret = interpret
 
+    def release_ok(self, release_values) -> bool:
+        """Static boundedness check for the in-kernel release rescale
+        (mirrors ops/scans.maxdecay_const_ok, ADVICE r3): rel**(-f1) runs
+        up to f1 = max_tf - 1, so a fast release (decay well below ~0.94 at
+        max_tf=128) would lose precision across the tile. The chain must
+        fall back to the dense bank when this returns False."""
+        rmin = float(np.min(np.asarray(release_values, np.float64)))
+        return 0.0 < rmin < 1.0 and rmin ** -(self.max_tf - 1) <= 64.0
+
     def _pick_tf(self, F: int) -> int:
-        cap = max(8, min(128, (64 * 4096) // self.M))
+        cap = self.max_tf
         tf = 1
         while tf * 2 <= min(F, cap) and F % (tf * 2) == 0:
             tf *= 2

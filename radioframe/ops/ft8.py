@@ -65,8 +65,13 @@ if _tables is not None:
     H = _tables["ldpc_h"]
     _HP_INV = _tables["hp_inv"]
     CRC_POLY = _tables["crc_poly"]
-    INTEROP_PROVISIONAL = False
-    PROVISIONAL_ITEMS = ()
+    # the npz supplies LDPC H + CRC only (radioframe/data schema); the 77-bit
+    # packing offsets stay provisional until independent KAT vectors land too
+    # (ft8_kats.npz — tests/test_digital_kat.py then verifies the packing)
+    PROVISIONAL_ITEMS = tuple(
+        () if _data.load_npz("ft8_kats") is not None
+        else ("77-bit packing offsets",))
+    INTEROP_PROVISIONAL = bool(PROVISIONAL_ITEMS)
 
 _DATA_POS = np.asarray([i for i in range(N_SYM) if not (i < 7 or 36 <= i < 43 or i >= 72)])
 _SYNC_POS = np.asarray([i for i in range(N_SYM) if (i < 7 or 36 <= i < 43 or i >= 72)])
@@ -223,12 +228,13 @@ def symbol_energies(audio, basis, start: int = 0, sps: int = SPS):
     if jnp.issubdtype(audio.dtype, jnp.complexfloating):
         fr = jnp.real(frames).astype(jnp.float32)
         fi = jnp.imag(frames).astype(jnp.float32)
-        cr = fr @ br - fi @ bi
-        ci = fr @ bi + fi @ br
+        mm = lambda a, b: jnp.matmul(a, b, precision="highest")  # f32 MXU
+        cr = mm(fr, br) - mm(fi, bi)
+        ci = mm(fr, bi) + mm(fi, br)
     else:
         frames = frames.astype(jnp.float32)
-        cr = frames @ br
-        ci = frames @ bi
+        cr = jnp.matmul(frames, br, precision="highest")
+        ci = jnp.matmul(frames, bi, precision="highest")
     return cr * cr + ci * ci
 
 

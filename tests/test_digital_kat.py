@@ -18,7 +18,11 @@ class TestFlagConsistency:
     """INTEROP_PROVISIONAL flips automatically iff tables are present."""
 
     def test_ft8_flag_tracks_tables(self):
-        assert ft8.INTEROP_PROVISIONAL == (tables.ft8_tables() is None)
+        # provisional iff tables OR packing-KAT vectors are missing
+        # (ADVICE r3: the tables npz does not cover the 77-bit packing)
+        want = (tables.ft8_tables() is None
+                or tables.load_npz("ft8_kats") is None)
+        assert ft8.INTEROP_PROVISIONAL == want
         assert bool(ft8.PROVISIONAL_ITEMS) == ft8.INTEROP_PROVISIONAL
 
     def test_wspr_flag_tracks_tables(self):
@@ -69,8 +73,10 @@ class TestLoaderMachinery:
         monkeypatch.setattr(tables, "_DIR", str(tmp_path))
         try:
             mod = importlib.reload(ft8)
-            assert mod.INTEROP_PROVISIONAL is False
-            assert mod.PROVISIONAL_ITEMS == ()
+            # tables alone do NOT clear the packing item (ADVICE r3): the
+            # npz carries LDPC H + CRC only; packing needs ft8_kats.npz
+            assert mod.INTEROP_PROVISIONAL is True
+            assert mod.PROVISIONAL_ITEMS == ("77-bit packing offsets",)
             tones = mod.encode_symbols("CQ0ABC", "DE1XYZ", "JO62")
             audio = mod.modulate(tones)
             assert mod.decode(audio) == ("CQ0ABC", "DE1XYZ", "JO62")
