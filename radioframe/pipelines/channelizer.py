@@ -118,6 +118,16 @@ class ChannelizerChain:
                 cfg.num_channels, cfg.fs_channel, cfg.nfm_deviation_hz,
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
                 interpret=_jax.default_backend() == "cpu")
+            if not self.demod_kernel.release_ok(self.agc_bank.release):
+                # ADVICE r3: the in-kernel release rescale rel**(-f1) must
+                # stay bounded across a frame tile (see FusedDemodAgc
+                # .release_ok) — same guard the dense path applies via
+                # scans.maxdecay_const_ok before its fast form
+                raise ValueError(
+                    "fuse_demod: AGC release too fast for the in-kernel "
+                    f"rescale (min decay {float(self.agc_bank.release.min()):.4f} "
+                    f"over {self.demod_kernel.max_tf}-frame tiles); lengthen "
+                    "release_s or disable fuse_demod (dense bank is exact)")
 
     def init_state(self):
         M = self.cfg.num_channels
@@ -135,6 +145,11 @@ class ChannelizerChain:
     def step(self, state, wideband, mode):
         cfg = self.cfg
         M = cfg.num_channels
+        # ADVICE r3: name the constraint here (min_block includes the
+        # waterfall averaging factor) instead of failing in a deep reshape
+        assert wideband.shape[-1] % self.min_block == 0, (
+            f"block length {wideband.shape[-1]} must be a multiple of "
+            f"{self.min_block} (num_channels x taps/waterfall_frame_avg lcm)")
         if self.demod_kernel is not None:
             return self._step_fused(state, wideband, mode)
         chans, pfb_tail = self.pfb(state["pfb"], wideband[None, :])  # (1, M, F)
@@ -164,27 +179,43 @@ class ChannelizerChain:
         cfg = self.cfg
         M = cfg.num_channels
         (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"], wideband[None, :])
-        F = yr.shape[0]
-        d = state["demod"]
-        st_in = jnp.stack([
-            d["am_dc"][0], d["am_dc"][1],
-            jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
-            state["agc"]["env"], jnp.zeros((M,), jnp.float32)])
-        cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
-        rel, _al, tgt, mg = self.agc_bank.per_channel(mode)
-        audio_fm, power_sum, wfp, st_out = self.demod_kernel(
-            yr, yi, mode, cw_word, d["cw_phase"], rel, tgt, mg, st_in)
+        audio_fm, power_sum, wfp, new_demod, new_agc = fused_backend_apply(
+            self.demod_kernel, self.agc_bank, self.cw_tone_word,
+            state["demod"], state["agc"], yr, yi, mode)
         audio = audio_fm.T  # (M, F)
-        aux = {"channel_power": power_sum / jnp.float32(F)}
+        aux = {"channel_power": power_sum / jnp.float32(yr.shape[0])}
         db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
         aux["waterfall"] = jnp.roll(db, M // 2, axis=-1)  # (F/avg, M)
-        new_demod = {
-            "cw_phase": d["cw_phase"] + cw_word * jnp.int32(F),
-            "am_dc": jnp.stack([st_out[0], st_out[1]]),
-            "nfm_last": lax.complex(st_out[2], st_out[3]),
-            "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"],
-        }
-        new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[4]}
         new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
                      "spec": state["spec"]}
         return new_state, audio, aux
+
+
+def fused_backend_apply(kernel, agc_bank, cw_tone_word, demod_state, agc_state,
+                        yr, yi, mode):
+    """Run the fused demod+AGC kernel on frame-major planes (F, M_local).
+
+    Shared by the unsharded chain and the channel-shard of the pod
+    channelizer (shard/channelizer.py): M_local is the full M or the M/D
+    slice a device owns after the all_to_all reshard — the per-channel
+    constants/state arrive already sliced. Returns (audio_fm (F, M_local),
+    power_sum (M_local,), wf_power (F/avg, M_local), demod_state',
+    agc_state')."""
+    F, Ml = yr.shape
+    d = demod_state
+    st_in = jnp.stack([
+        d["am_dc"][0], d["am_dc"][1],
+        jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
+        agc_state["env"], jnp.zeros((Ml,), jnp.float32)])
+    cw_word = jnp.full((Ml,), cw_tone_word, jnp.int32)
+    rel, _al, tgt, mg = agc_bank.per_channel(mode)
+    audio_fm, power_sum, wfp, st_out = kernel(
+        yr, yi, mode, cw_word, d["cw_phase"], rel, tgt, mg, st_in)
+    new_demod = {
+        "cw_phase": d["cw_phase"] + cw_word * jnp.int32(F),
+        "am_dc": jnp.stack([st_out[0], st_out[1]]),
+        "nfm_last": lax.complex(st_out[2], st_out[3]),
+        "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"],
+    }
+    new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[4]}
+    return audio_fm, power_sum, wfp, new_demod, new_agc

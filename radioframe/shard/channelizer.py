@@ -39,6 +39,24 @@ class ShardedChannelizer:
             from radioframe.ops.spectrum import Spectrum
 
             self._raw_spec = Spectrum(chain.cfg.spectrum_nfft, 0.0)
+        # fused demod+AGC back end under sharding (VERDICT r3 ask #2): each
+        # device owns M/D channels after the all_to_all, so it runs its own
+        # kernel instance sized M/D; per-channel constants/state arrive
+        # pre-sliced through the shard_map specs. The dense bank remains the
+        # SAM/EMA fallback (chain.demod_kernel is None then).
+        self.demod_kernel = None
+        if chain.demod_kernel is not None:
+            import jax as _jax
+
+            from radioframe.kernels.demod_agc import FusedDemodAgc
+
+            cfg = chain.cfg
+            en = (cfg.enabled_modes if cfg.enabled_modes is not None
+                  else tuple(range(demod_op.SAM + 1)))
+            self.demod_kernel = FusedDemodAgc(
+                cfg.num_channels // D, cfg.fs_channel, cfg.nfm_deviation_hz,
+                wf_avg=cfg.waterfall_frame_avg, enabled=en,
+                interpret=_jax.default_backend() == "cpu")
 
     def _local_step(self, state, wideband, mode):
         chain, cfg, ax = self.chain, self.chain.cfg, self.axis
@@ -48,6 +66,10 @@ class ShardedChannelizer:
 
         x = wideband[None, :]  # (1, T_loc)
         xp, pfb_carry = causal_halo(x, state["pfb"], H, ax)
+
+        if self.demod_kernel is not None:
+            return self._local_back_fused(state, pfb_carry, x, xp[:, :H], mode)
+
         chans, _ = chain.pfb(xp[:, :H], x)  # (1, M, F_loc)
         chans = chans[0]  # (M, F_loc)
 
@@ -97,6 +119,38 @@ class ShardedChannelizer:
         new_state = {"pfb": pfb_carry, "demod": demod_state, "agc": agc_env,
                      "spec": spec_prev}
         return new_state, audio, aux
+
+    def _local_back_fused(self, state, pfb_carry, x, halo_tail, mode):
+        """Fused back end under sharding (VERDICT r3 ask #2): the PFB
+        kernel's f32 frame-major planes are resharded directly — split
+        channels D ways, concat frames — so the (M, F) complex channel-major
+        matrix is never materialized on this path either; each shard then
+        runs the demod+AGC kernel on its M/D channel slice."""
+        from radioframe.pipelines.channelizer import fused_backend_apply
+
+        chain, cfg, ax = self.chain, self.chain.cfg, self.axis
+        D = lax.axis_size(ax)
+        (yr, yi), _ = chain.pfb.call_planes(halo_tail, x)  # (F_loc, M) planes
+        planes = jnp.stack([yr, yi])  # (2, F_loc, M)
+        if D > 1:
+            planes = lax.all_to_all(planes, ax, split_axis=2, concat_axis=1,
+                                    tiled=True)  # (2, F, M/D)
+        audio_fm, power_sum, wfp, new_demod, new_agc = fused_backend_apply(
+            self.demod_kernel, chain.agc_bank, chain.cw_tone_word,
+            state["demod"], state["agc"], planes[0], planes[1], mode)
+        F = planes.shape[1]
+        aux = {"channel_power": power_sum / jnp.float32(F)}
+        # (F/avg, M/D) dB lines, channel-sharded; the global fftshift roll
+        # runs OUTSIDE shard_map in step() (same as the dense branch)
+        db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
+        aux["waterfall"] = db
+        new_state = {"pfb": pfb_carry, "demod": new_demod, "agc": new_agc,
+                     "spec": state["spec"]}
+        return new_state, audio_fm.T, aux
+
+    def state_specs(self):
+        """Public PartitionSpec tree for mesh.place_state (donation hygiene)."""
+        return self._state_specs()
 
     def _state_specs(self):
         ax = self.axis

@@ -17,6 +17,10 @@ class ShardedDuplex:
     def init_state(self, num_channels: int | None = None):
         return self.dpx.init_state(num_channels)
 
+    def state_specs(self):
+        """PartitionSpec tree for mesh.place_state (donation hygiene)."""
+        return {"rx": self.rx.state_specs(), "tx": self.tx.state_specs()}
+
     def step(self, state, rx_iq, tx_audio, rx_words, rx_mode, tx_words, tx_mode):
         rx_state, rx_audio, rx_aux = self.rx.step(state["rx"], rx_iq, rx_words, rx_mode)
         tx_state, tx_iq = self.tx.step(state["tx"], tx_audio, tx_words, tx_mode)

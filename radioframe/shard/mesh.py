@@ -46,3 +46,20 @@ def make_hybrid_mesh(channel_per_host: int, time: int, *, init_distributed: bool
     else:
         devs = np.asarray(jax.devices()[: mesh_shape[0] * mesh_shape[1]]).reshape(mesh_shape)
     return Mesh(devs, ("channel", "time"))
+
+
+def place_state(state, specs, mesh):
+    """device_put a state pytree onto its shard_map PartitionSpecs.
+
+    Donation hygiene (VERDICT r3 ask #6): a donated input whose sharding
+    differs from the executable's expected input sharding cannot be aliased
+    — XLA emits "Some donated buffers were not usable" and every such leaf
+    costs one avoidable copy of sharded state per step on a real pod. Chains
+    build their init state unsharded (single-device); calling this once
+    before the first donated step makes every leaf aliasable.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda x: isinstance(x, PartitionSpec))
+    return jax.tree.map(jax.device_put, state, shardings)

@@ -337,6 +337,10 @@ class ShardedRxChain:
 
     # ---- shard_map wrapper -------------------------------------------------
 
+    def state_specs(self):
+        """Public PartitionSpec tree for mesh.place_state (donation hygiene)."""
+        return self._state_specs()
+
     def _state_specs(self):
         ca = self.ca
         return {

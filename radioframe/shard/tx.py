@@ -89,6 +89,10 @@ class ShardedTxChain:
         }
         return new_state, iq
 
+    def state_specs(self):
+        """Public PartitionSpec tree for mesh.place_state (donation hygiene)."""
+        return self._state_specs()
+
     def _state_specs(self):
         ca = self.ca
         return {

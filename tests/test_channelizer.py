@@ -392,3 +392,97 @@ class TestFusedDemodAgc:
             outs.append(np.concatenate(audios, axis=-1))
         W = dense.pfb.K
         np.testing.assert_allclose(outs[1][:, W:], outs[0][:, W:], atol=2e-4)
+
+
+class TestFusedConfigValidation:
+    """ADVICE r3: the fused back end's constraints fail loudly at build/step
+    time with named limits, not as opaque asserts deep in the kernel."""
+
+    _base = dict(fs_in=15_000.0 * 64, num_channels=64, emit_spectrum=True,
+                 waterfall_from_pfb=True, fuse_pfb=True, fuse_demod=True,
+                 enabled_modes=(0, 1, 2, 3))
+
+    def test_non_pow2_frame_avg_rejected(self):
+        with pytest.raises(ValueError, match="power of two"):
+            ChannelizerChain(ChannelizerConfig(**self._base,
+                                               waterfall_frame_avg=3))
+
+    def test_frame_avg_over_tile_cap_rejected(self):
+        cfg = dict(self._base, num_channels=4096,
+                   fs_in=15_000.0 * 4096, waterfall_frame_avg=128)
+        with pytest.raises(ValueError, match="frame-tile cap"):
+            ChannelizerChain(ChannelizerConfig(**cfg))
+
+    def test_fast_release_rejected(self):
+        from radioframe.core.config import AgcConfig
+
+        # release_s = 0.1 ms at fs_channel = 15 kHz -> decay ~0.51/sample:
+        # 0.51**-(max_tf-1) overflows the in-kernel rescale
+        with pytest.raises(ValueError, match="release"):
+            ChannelizerChain(ChannelizerConfig(
+                **self._base, waterfall_frame_avg=4,
+                agc=AgcConfig(release_s=1e-4)))
+
+    def test_block_length_assert_names_min_block(self, rng):
+        chain = ChannelizerChain(ChannelizerConfig(
+            **self._base, waterfall_frame_avg=4))
+        mode = jnp.zeros((64,), jnp.int32)
+        bad = jnp.asarray(_wideband(rng, chain.min_block + 64))
+        with pytest.raises(AssertionError, match="min_block|multiple of"):
+            chain.step(chain.init_state(), bad, mode)
+
+
+class TestShardedFusedBackend:
+    """VERDICT r3 ask #2: the fused demod+AGC back end survives sharding —
+    the PFB kernel's frame-major planes are all_to_all'd (split channels,
+    concat frames) and each shard runs its M/D-channel kernel instance.
+    Sharded fused == unsharded fused (interpret on the single-axis CPU
+    mesh), streaming across blocks."""
+
+    def _chain(self, M):
+        return ChannelizerChain(ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, waterfall_frame_avg=4,
+            fuse_pfb=True, fuse_demod=True, enabled_modes=(0, 1, 2, 3)))
+
+    @pytest.mark.parametrize("D", [4, 8])
+    def test_sharded_fused_matches_unsharded_fused(self, rng, D):
+        M = 64
+        chain = self._chain(M)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.demod_kernel is not None
+        assert sharded.demod_kernel.M == M // D
+        T = D * 2 * chain.min_block
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        wide = _wideband(rng, 2 * T)
+        st_u, st_s = chain.init_state(), chain.init_state()
+        step_u, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        W = chain.pfb.K
+        for i, b in enumerate(np.split(wide, 2)):
+            st_u, a_u, x_u = step_u(st_u, jnp.asarray(b), mode)
+            st_s, a_s, x_s = step_s(st_s, jnp.asarray(b), mode)
+            skip = W if i == 0 else 0
+            np.testing.assert_allclose(np.asarray(a_s)[:, skip:],
+                                       np.asarray(a_u)[:, skip:], atol=2e-4)
+            np.testing.assert_allclose(np.asarray(x_s["waterfall"]),
+                                       np.asarray(x_u["waterfall"]), atol=1e-2)
+            np.testing.assert_allclose(np.asarray(x_s["channel_power"]),
+                                       np.asarray(x_u["channel_power"]),
+                                       rtol=1e-4)
+        # per-channel streaming state identical across the formulations
+        np.testing.assert_allclose(np.asarray(st_s["agc"]["env"]),
+                                   np.asarray(st_u["agc"]["env"]), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(st_s["demod"]["cw_phase"]),
+                                      np.asarray(st_u["demod"]["cw_phase"]))
+
+    def test_sam_mode_falls_back_to_dense(self, rng):
+        """A config with SAM enabled keeps the dense bank on the sharded
+        path (chain refuses fuse_demod; sharded kernel stays None)."""
+        M, D = 32, 4
+        chain = ChannelizerChain(ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=False,
+            fuse_pfb=True))
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.demod_kernel is None  # dense fallback intact
