@@ -23,8 +23,12 @@ Per-sample recursions stay EXACT across the sequential grid:
 SAM needs whole-block statistics (two-pass) and is NOT supported here —
 the chain falls back to the dense XLA bank when SAM is enabled. Per-mode
 AGC constants arrive pre-gathered per channel (host-side table lookup),
-so there is no in-kernel gather. Attack smoothing must be instant
-(alpha = 0, the channelizer default); hang must be disabled.
+so there is no in-kernel gather. Attack smoothing (r4): the one-pole lpf
+over the release envelope runs as one lower-triangular a^{g-j} MXU matmul
+per DISTINCT nonzero alpha in the static mode table (<=6), mask-selected
+per channel — exact, no rescale bound (negative powers never appear).
+Hang stays dense-only: its (Wmax-1, M) carried envelope history (hang
+windows span hundreds of frames) would dominate the VMEM budget.
 """
 
 from __future__ import annotations
@@ -66,16 +70,17 @@ def _atan2(y, x):
 
 
 def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
-            en_nfm,
+            en_nfm, alphas,
             yr_ref, yi_ref, mode_ref, cw_word_ref, cw_acc_ref, rel_ref,
-            tgt_ref, mg_ref, ltri_ref, st_in_ref,
+            al_ref, tgt_ref, mg_ref, ltri_ref, atri_ref, st_in_ref,
             audio_ref, wf_ref, st_out_ref, carry_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _seed():
         # carry rows: [0]=am x_prev, [1]=am y_prev, [2]=nfm_last re,
-        # [3]=nfm_last im, [4]=agc env, [5]=power accum
+        # [3]=nfm_last im, [4]=agc release env, [5]=agc attack lpf,
+        # [6]=power accum
         carry_ref[...] = st_in_ref[...]
 
     xr = yr_ref[...]  # (TF, M)
@@ -143,13 +148,34 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
     env_r = w * (rel ** f1)
     env_r = jnp.maximum(env_r, carry_ref[4:5] * (rel ** (f1 + 1.0)))
     carry_ref[4:5] = env_r[TF - 1: TF]
-    gain = jnp.minimum(mg_ref[...], tgt_ref[...] / jnp.maximum(env_r, 1e-9))
+
+    # --- AGC attack: one-pole lpf over env_r (VERDICT r3 ask #5) ---------
+    # env[g] = a*env[g-1] + (1-a)*env_r[g], per-channel a from a STATIC
+    # <=6-entry mode table — so run the prefix as one lower-triangular
+    # a^{g-j} MXU matmul per DISTINCT nonzero alpha (the DC-block trick:
+    # exact, no rescale/overflow bound; a^{g-j} underflow -> 0 is correct
+    # forgetting) and mask-select per channel; a=0 channels keep env_r.
+    if alphas:
+        al = al_ref[...]  # (1, M) per-channel attack alpha (0 = instant)
+        b = (1.0 - al) * env_r
+        env = jnp.where(al == 0.0, env_r, 0.0)
+        for k, a in enumerate(alphas):
+            pref = jax.lax.dot_general(
+                atri_ref[k], b, (((1,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            cand = pref + carry_ref[5:6] * (jnp.float32(a) ** (f1 + 1.0))
+            env = env + jnp.where(al == jnp.float32(a), cand, 0.0)
+    else:
+        env = env_r  # instant attack everywhere: the one-pole is identity
+    carry_ref[5:6] = env[TF - 1: TF]
+    gain = jnp.minimum(mg_ref[...], tgt_ref[...] / jnp.maximum(env, 1e-9))
     agc_audio = audio * gain
     audio_ref[...] = jnp.where(mode == demod_op.NFM, audio, agc_audio)
 
     # --- aux: power accumulation + averaged waterfall power --------------
     p = xr * xr + xi * xi
-    carry_ref[5:6] = carry_ref[5:6] + jnp.sum(p, axis=0, keepdims=True)
+    carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
     wf_ref[...] = jnp.mean(p.reshape(TF // wf_avg, wf_avg, M), axis=1)[None]
 
     @pl.when(i == grid - 1)
@@ -161,18 +187,25 @@ class FusedDemodAgc:
     """Channelizer back end: (state, yr/yi (F, M) frame-major planes,
     mode (M,), per-channel AGC constants) -> (audio (F, M), aux, state').
 
-    Supports modes {SSB, CW, AM, NFM, LSB}; instant-attack, no-hang AGC.
+    Supports modes {SSB, CW, AM, NFM, LSB}; attack/release AGC (no hang —
+    use the dense bank for hang_s > 0).
     """
 
     MAX_GRID = 256
 
     def __init__(self, M: int, fs_channel: float, nfm_deviation_hz: float,
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
-                 interpret: bool = False):
+                 attack_alphas: tuple = (), interpret: bool = False):
         self.M = int(M)
         self.fs = float(fs_channel)
         self.dev_scale = float(fs_channel / (2.0 * np.pi * nfm_deviation_hz))
         self.wf_avg = max(1, int(wf_avg))
+        # distinct NONZERO attack one-pole coefficients from the static
+        # per-mode AGC table (<=6 values); () = instant attack everywhere.
+        # set(): modes sharing a value (e.g. SSB/LSB) must contribute ONE
+        # masked candidate, not two — the per-channel select sums them
+        self.attack_alphas = tuple(sorted({float(a) for a in attack_alphas
+                                           if float(a) != 0.0}))
         # VMEM frame-tile cap; _pick_tf returns a power of two <= this
         self.max_tf = max(8, min(128, (64 * 4096) // self.M))
         if (self.wf_avg & (self.wf_avg - 1)) or self.wf_avg > self.max_tf:
@@ -206,22 +239,27 @@ class FusedDemodAgc:
             assert tf % self.wf_avg == 0, (tf, self.wf_avg)
         return tf
 
-    def __call__(self, yr, yi, mode, cw_word, cw_acc, rel, tgt, mg, st_in):
-        """st_in: (6, M) f32 carry rows [am_x, am_y, nfm_re, nfm_im, env,
-        power(ignored on input, zeros)]. Returns (audio (F, M) f32,
-        power (M,), wf_power ((F/avg, M) or None), st_out (6, M))."""
+    def __call__(self, yr, yi, mode, cw_word, cw_acc, rel, al, tgt, mg, st_in):
+        """st_in: (7, M) f32 carry rows [am_x, am_y, nfm_re, nfm_im, env,
+        lpf, power(ignored on input, zeros)]. Returns (audio (F, M) f32,
+        power (M,), wf_power ((F/avg, M) or None), st_out (7, M))."""
         F, M = yr.shape
         TF = self._pick_tf(F)
         grid = F // TF
         assert grid <= self.MAX_GRID, "chunk longer blocks upstream"
-        ltri = np.tril(_DC_POLE ** (np.subtract.outer(np.arange(TF),
-                                                      np.arange(TF)))
-                       ).astype(np.float32)
+        gj = np.subtract.outer(np.arange(TF), np.arange(TF))
+        ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
+        # attack prefix matrices: atri[k][g, j] = (1 is NOT folded here —
+        # the kernel multiplies b = (1-a)*env_r) a_k^{g-j} for j <= g
+        n_a = max(1, len(self.attack_alphas))
+        atri = np.zeros((n_a, TF, TF), np.float32)
+        for k, a in enumerate(self.attack_alphas):
+            atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
         en = self.en
         kern = functools.partial(
             _kernel, TF, M, grid, self.fs, self.dev_scale, self.wf_avg,
             demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
-            demod_op.AM in en, demod_op.NFM in en)
+            demod_op.AM in en, demod_op.NFM in en, self.attack_alphas)
         row = lambda a, dt: jnp.asarray(a, dt).reshape(1, M)
         wf_rows = F // self.wf_avg
         wf_block = TF // self.wf_avg
@@ -237,8 +275,10 @@ class FusedDemodAgc:
                 pl.BlockSpec((1, M), lambda i: (0, 0)),
                 pl.BlockSpec((1, M), lambda i: (0, 0)),
                 pl.BlockSpec((1, M), lambda i: (0, 0)),
+                pl.BlockSpec((1, M), lambda i: (0, 0)),
                 pl.BlockSpec((TF, TF), lambda i: (0, 0)),
-                pl.BlockSpec((6, M), lambda i: (0, 0)),
+                pl.BlockSpec((n_a, TF, TF), lambda i: (0, 0, 0)),
+                pl.BlockSpec((7, M), lambda i: (0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((TF, M), lambda i: (i, 0)),
@@ -246,24 +286,25 @@ class FusedDemodAgc:
                 # dims match the array exactly (tiling rule: last two dims
                 # div-by-(8,128) OR equal to the array dims)
                 pl.BlockSpec((1, wf_block, M), lambda i: (i, 0, 0)),
-                pl.BlockSpec((6, M), lambda i: (0, 0)),
+                pl.BlockSpec((7, M), lambda i: (0, 0)),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((F, M), jnp.float32),
                 jax.ShapeDtypeStruct((grid, wf_block, M), jnp.float32),
-                jax.ShapeDtypeStruct((6, M), jnp.float32),
+                jax.ShapeDtypeStruct((7, M), jnp.float32),
             ],
-            scratch_shapes=[pltpu.VMEM((6, M), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((7, M), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=32 * 1024 * 1024),
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
-                flops=30 * F * M, bytes_accessed=3 * F * M * 4,
+                flops=30 * F * M + 2 * len(self.attack_alphas) * F * TF * M,
+                bytes_accessed=3 * F * M * 4,
                 transcendentals=2 * F * M),
         )(yr, yi, row(mode, jnp.int32), row(cw_word, jnp.int32),
           row(cw_acc, jnp.int32), row(rel, jnp.float32),
-          row(tgt, jnp.float32), row(mg, jnp.float32),
-          jnp.asarray(ltri), st_in.astype(jnp.float32))
+          row(al, jnp.float32), row(tgt, jnp.float32), row(mg, jnp.float32),
+          jnp.asarray(ltri), jnp.asarray(atri), st_in.astype(jnp.float32))
         wf = wf.reshape(wf_rows, M)
-        return audio, st_out[5], wf, st_out
+        return audio, st_out[6], wf, st_out

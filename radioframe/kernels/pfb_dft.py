@@ -123,6 +123,16 @@ class FusedPfbDft:
         (self.M1, self.M2, self._w1r, self._w1i, self._w2r, self._w2i,
          self._twr, self._twi) = _dft_consts(self.M)
         self.interpret = interpret
+        # kernel-native channel order (VERDICT r3 ask #3): the DFT emits
+        # (k1, k2) row-major, i.e. native column r holds channel
+        # chan_perm[r] = M1*(r % M2) + r // M2; the untangle transpose that
+        # reorders the full-rate DATA is a fixed permutation, so callers can
+        # instead permute the per-channel CONSTANT vectors (mode, AGC rows,
+        # carries — O(M), not O(F*M)) via these indices and take planes in
+        # native order (call_planes(native=True)).
+        r = np.arange(self.M)
+        self.chan_perm = self.M1 * (r % self.M2) + r // self.M2  # native -> channel
+        self.chan_inv = np.argsort(self.chan_perm)               # channel -> native
 
     def init_state(self, batch: int = 1):
         assert batch == 1
@@ -143,9 +153,14 @@ class FusedPfbDft:
         y = jnp.moveaxis(lax.complex(yr, yi), 0, -1)[None]  # (1, M, F)
         return y.astype(jnp.complex64), new_tail
 
-    def call_planes(self, tail, x):
+    def call_planes(self, tail, x, native: bool = False):
         """Frame-major planes contract for fused back ends
-        (kernels/demod_agc.py): -> ((yr, yi) each (F, M) f32, new_tail)."""
+        (kernels/demod_agc.py): -> ((yr, yi) each (F, M) f32, new_tail).
+
+        ``native=True`` skips the (F, k1, k2) -> flat-channel untangle
+        transpose (a full-rate data movement): column r then holds channel
+        ``chan_perm[r]``, and the caller permutes its per-channel constant
+        vectors instead — O(M) index work replacing an O(F*M) pass."""
         B, T = x.shape
         assert B == 1 and T % self.M == 0
         K, M = self.K, self.M
@@ -157,7 +172,8 @@ class FusedPfbDft:
             chunk_T = self.MAX_GRID * TF * M
             yrs, yis = [], []
             for t0 in range(0, T, chunk_T):
-                (yr, yi), tail = self.call_planes(tail, x[:, t0: t0 + chunk_T])
+                (yr, yi), tail = self.call_planes(tail, x[:, t0: t0 + chunk_T],
+                                                  native=native)
                 yrs.append(yr)
                 yis.append(yi)
             return (jnp.concatenate(yrs, axis=0),
@@ -210,8 +226,12 @@ class FusedPfbDft:
           c(self._w2r), c(self._w2i), c(self._twr), c(self._twi))
 
         # kernel emits (F, k1, k2); flat channel index is k = M1*k2 + k1
-        yr = jnp.transpose(yr, (0, 2, 1)).reshape(F, M)
-        yi = jnp.transpose(yi, (0, 2, 1)).reshape(F, M)
+        if native:  # free row-major flatten: column r = channel chan_perm[r]
+            yr = yr.reshape(F, M)
+            yi = yi.reshape(F, M)
+        else:
+            yr = jnp.transpose(yr, (0, 2, 1)).reshape(F, M)
+            yi = jnp.transpose(yi, (0, 2, 1)).reshape(F, M)
         new_tail = x[:, T - (K - 1) * M:] if T >= (K - 1) * M else (
             jnp.concatenate([tail, x], axis=-1)[:, -(K - 1) * M:])
         return (yr, yi), new_tail

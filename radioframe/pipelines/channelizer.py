@@ -53,8 +53,9 @@ class ChannelizerConfig:
     # fused Pallas demod+AGC back end (kernels/demod_agc.py): consumes the
     # PFB kernel's frame-major planes directly — the (M, F) complex channel
     # matrix is never materialized. Requires fuse_pfb, waterfall_from_pfb,
-    # enabled_modes without SAM, instant-attack/no-hang AGC; the sharded
-    # channelizer keeps the dense bank (all_to_all hands it channel-major)
+    # enabled_modes without SAM, and hang_s=0 (attack/release ARE supported
+    # in-kernel since r4; hang's envelope history stays dense-only). The
+    # sharded channelizer runs it too, per-shard after the plane all_to_all.
     fuse_demod: bool = False
 
     @property
@@ -112,11 +113,18 @@ class ChannelizerChain:
                   else tuple(range(n_modes)))
             assert demod_op.SAM not in en, (
                 "fuse_demod: SAM needs whole-block stats; use the dense bank")
-            assert not self.agc_bank.alpha.any() and self.agc_bank.hist_len == 0, (
-                "fuse_demod AGC is instant-attack / no-hang")
+            # hang (sliding-window max, window up to seconds of frames)
+            # stays dense-only: the carried (Wmax-1, M) envelope history
+            # would dominate the kernel's VMEM budget — documented in
+            # CAPABILITIES.md §2.1 #8. Attack IS supported in-kernel
+            # (distinct-alpha triangular MXU prefixes, r4).
+            assert self.agc_bank.hist_len == 0, (
+                "fuse_demod AGC has no hang support; set hang_s=0 or "
+                "disable fuse_demod (the dense bank is exact)")
             self.demod_kernel = FusedDemodAgc(
                 cfg.num_channels, cfg.fs_channel, cfg.nfm_deviation_hz,
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
+                attack_alphas=tuple(self.agc_bank.alpha.tolist()),
                 interpret=_jax.default_backend() == "cpu")
             if not self.demod_kernel.release_ok(self.agc_bank.release):
                 # ADVICE r3: the in-kernel release rescale rel**(-f1) must
@@ -175,17 +183,46 @@ class ChannelizerChain:
         """Fully-kernelized path: PFB planes feed the demod+AGC kernel; the
         (M, F) complex channel matrix is never materialized. Numerically
         matches the dense path within fp tolerance (tests/test_channelizer
-        TestFusedDemodAgc)."""
+        TestFusedDemodAgc).
+
+        Channel ordering (VERDICT r3 ask #3): the planes stay in the PFB
+        kernel's NATIVE (k1, k2) order end-to-end — the demod/AGC math is
+        per-channel elementwise, so only the O(M) constant vectors (mode,
+        AGC rows, carries) are permuted into native order, deleting the
+        O(F*M) untangle transpose; the single remaining reorder is fused
+        into the API-boundary audio transpose as one gather."""
         cfg = self.cfg
         M = cfg.num_channels
-        (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"], wideband[None, :])
-        audio_fm, power_sum, wfp, new_demod, new_agc = fused_backend_apply(
+        perm = jnp.asarray(self.pfb.chan_perm)  # native col r -> channel
+        inv = jnp.asarray(self.pfb.chan_inv)    # channel c -> native col
+        (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"],
+                                                  wideband[None, :],
+                                                  native=True)
+        d, a = state["demod"], state["agc"]
+        d_n = {"cw_phase": jnp.take(d["cw_phase"], perm),
+               "am_dc": jnp.take(d["am_dc"], perm, axis=1),
+               "nfm_last": jnp.take(d["nfm_last"], perm),
+               # SAM leaves are pass-throughs on the fused path: keep them
+               # in channel order so the untouched copies stay correct
+               "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"]}
+        a_n = {"env": jnp.take(a["env"], perm),
+               "lpf": jnp.take(a["lpf"], perm)}
+        audio_fm, power_sum, wfp, nd_n, na_n = fused_backend_apply(
             self.demod_kernel, self.agc_bank, self.cw_tone_word,
-            state["demod"], state["agc"], yr, yi, mode)
-        audio = audio_fm.T  # (M, F)
-        aux = {"channel_power": power_sum / jnp.float32(yr.shape[0])}
+            d_n, a_n, yr, yi, jnp.take(mode, perm))
+        audio = jnp.take(audio_fm, inv, axis=1).T  # (M, F), one fused gather
+        aux = {"channel_power": jnp.take(power_sum, inv) / jnp.float32(yr.shape[0])}
         db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
-        aux["waterfall"] = jnp.roll(db, M // 2, axis=-1)  # (F/avg, M)
+        # un-permute + fftshift roll composed into ONE small gather:
+        # out[:, j] = db_channelorder[:, (j - M/2) mod M] = db[:, wf_idx[j]]
+        wf_idx = jnp.asarray(np.roll(self.pfb.chan_inv, M // 2))
+        aux["waterfall"] = jnp.take(db, wf_idx, axis=-1)  # (F/avg, M)
+        new_demod = {"cw_phase": jnp.take(nd_n["cw_phase"], inv),
+                     "am_dc": jnp.take(nd_n["am_dc"], inv, axis=1),
+                     "nfm_last": jnp.take(nd_n["nfm_last"], inv),
+                     "sam_dc": nd_n["sam_dc"], "sam_carrier": nd_n["sam_carrier"]}
+        new_agc = {"hist": (), "env": jnp.take(na_n["env"], inv),
+                   "lpf": jnp.take(na_n["lpf"], inv)}
         new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
                      "spec": state["spec"]}
         return new_state, audio, aux
@@ -206,16 +243,16 @@ def fused_backend_apply(kernel, agc_bank, cw_tone_word, demod_state, agc_state,
     st_in = jnp.stack([
         d["am_dc"][0], d["am_dc"][1],
         jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
-        agc_state["env"], jnp.zeros((Ml,), jnp.float32)])
+        agc_state["env"], agc_state["lpf"], jnp.zeros((Ml,), jnp.float32)])
     cw_word = jnp.full((Ml,), cw_tone_word, jnp.int32)
-    rel, _al, tgt, mg = agc_bank.per_channel(mode)
+    rel, al, tgt, mg = agc_bank.per_channel(mode)
     audio_fm, power_sum, wfp, st_out = kernel(
-        yr, yi, mode, cw_word, d["cw_phase"], rel, tgt, mg, st_in)
+        yr, yi, mode, cw_word, d["cw_phase"], rel, al, tgt, mg, st_in)
     new_demod = {
         "cw_phase": d["cw_phase"] + cw_word * jnp.int32(F),
         "am_dc": jnp.stack([st_out[0], st_out[1]]),
         "nfm_last": lax.complex(st_out[2], st_out[3]),
         "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"],
     }
-    new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[4]}
+    new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[5]}
     return audio_fm, power_sum, wfp, new_demod, new_agc

@@ -56,6 +56,7 @@ class ShardedChannelizer:
             self.demod_kernel = FusedDemodAgc(
                 cfg.num_channels // D, cfg.fs_channel, cfg.nfm_deviation_hz,
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
+                attack_alphas=tuple(chain.agc_bank.alpha.tolist()),
                 interpret=_jax.default_backend() == "cpu")
 
     def _local_step(self, state, wideband, mode):

@@ -13,6 +13,10 @@ from radioframe.ops.pfb import PfbChannelizer
 from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 from radioframe.shard.channelizer import ShardedChannelizer
 
+# kernel tests: interpret on the CPU mesh, COMPILED for real under
+# RADIOFRAME_TEST_TPU=1 (SURVEY 4.2 #5: same tests run unmodified on TPU)
+_INTERP = jax.default_backend() == "cpu"
+
 
 def _wideband(rng, T):
     return (rng.standard_normal(T) + 1j * rng.standard_normal(T)).astype(np.complex64)
@@ -273,7 +277,7 @@ class TestFusedPfbDft:
 
         M, K = 64, 8
         ref_op = PfbChannelizer(M, K)
-        fus = FusedPfbDft(M, K, interpret=True)
+        fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 32 * M)
         yr, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
         yf, _ = fus(fus.init_state(1), jnp.asarray(x[None, :]))
@@ -285,7 +289,7 @@ class TestFusedPfbDft:
 
         M, K = 32, 8
         ref_op = PfbChannelizer(M, K)
-        fus = FusedPfbDft(M, K, interpret=True)
+        fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 96 * M)
         whole, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
         st = fus.init_state(1)
@@ -486,3 +490,74 @@ class TestShardedFusedBackend:
         mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
         sharded = ShardedChannelizer(chain, mesh)
         assert sharded.demod_kernel is None  # dense fallback intact
+
+
+class TestFusedAttackAgc:
+    """VERDICT r3 ask #5: the fused back end supports full attack/release
+    AGC (per-distinct-alpha triangular MXU prefixes) — parity against the
+    dense bank with NONZERO per-mode attack constants, streaming."""
+
+    def _cfgs(self, M):
+        from radioframe.core.config import AgcConfig
+
+        agc_modes = (
+            AgcConfig(release_s=0.5, attack_s=0.002),   # SSB
+            AgcConfig(release_s=0.25, attack_s=0.001),  # CW
+            AgcConfig(release_s=0.8, attack_s=0.005),   # AM
+            AgcConfig(),                                # NFM (bypassed)
+            AgcConfig(release_s=0.5, attack_s=0.002),   # LSB
+            AgcConfig(release_s=0.8, attack_s=0.005),   # SAM
+        )
+        base = dict(fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+                    waterfall_from_pfb=True, waterfall_frame_avg=4,
+                    fuse_pfb=True, enabled_modes=(0, 1, 2, 3),
+                    agc_modes=agc_modes)
+        return (ChannelizerConfig(**base),
+                ChannelizerConfig(**base, fuse_demod=True))
+
+    def test_attack_parity_streaming(self, rng):
+        M = 64
+        dense_cfg, fused_cfg = self._cfgs(M)
+        dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
+        assert fused.demod_kernel.attack_alphas  # nonzero alphas compiled
+        assert fused.agc_bank.alpha.any()
+        T = 4 * dense.min_block
+        wide = _wideband(rng, 2 * T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        outs, states = [], []
+        for chain in (dense, fused):
+            st = chain.init_state()
+            step = jax.jit(chain.step)
+            audios = []
+            for b in np.split(wide, 2):
+                st, a, _ = step(st, jnp.asarray(b), mode)
+                audios.append(np.asarray(a))
+            outs.append(np.concatenate(audios, axis=-1))
+            states.append(st)
+        W = dense.pfb.K
+        np.testing.assert_allclose(outs[1][:, W:], outs[0][:, W:], atol=2e-4)
+        # both envelope states (release env + attack lpf) carried identically
+        np.testing.assert_allclose(np.asarray(states[1]["agc"]["env"]),
+                                   np.asarray(states[0]["agc"]["env"]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(states[1]["agc"]["lpf"]),
+                                   np.asarray(states[0]["agc"]["lpf"]), atol=2e-4)
+
+    def test_attack_parity_sharded(self, rng):
+        """Sharded fused with nonzero attack == unsharded fused."""
+        M, D = 64, 4
+        _, fused_cfg = self._cfgs(M)
+        chain = ChannelizerChain(fused_cfg)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.demod_kernel.attack_alphas
+        T = D * 2 * chain.min_block
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        wide = _wideband(rng, T)
+        st_u, st_s = chain.init_state(), chain.init_state()
+        st_u, a_u, _ = jax.jit(chain.step)(st_u, jnp.asarray(wide), mode)
+        st_s, a_s, _ = jax.jit(sharded.step)(st_s, jnp.asarray(wide), mode)
+        W = chain.pfb.K
+        np.testing.assert_allclose(np.asarray(a_s)[:, W:],
+                                   np.asarray(a_u)[:, W:], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_s["agc"]["lpf"]),
+                                   np.asarray(st_u["agc"]["lpf"]), atol=2e-4)

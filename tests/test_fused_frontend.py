@@ -15,6 +15,10 @@ from radioframe.ops import nco
 from radioframe.ops.fir import FirDecimator
 from radioframe.pipelines.rx_chain import RxChain
 
+# kernel tests: interpret on the CPU mesh, COMPILED for real under
+# RADIOFRAME_TEST_TPU=1 (SURVEY 4.2 #5: same tests run unmodified on TPU)
+_INTERP = jax.default_backend() == "cpu"
+
 
 def _iq(rng, C, T):
     return (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
@@ -30,7 +34,7 @@ class TestFusedFrontend:
         taps = (FD.cic_equivalent_taps(R, 4, 1) if L == 29
                 else FD.lowpass_taps(L, 0.4 / R, 1.0))
         ref = FirDecimator(taps, R)
-        fus = FusedFrontend(taps, R, interpret=True)
+        fus = FusedFrontend(taps, R, interpret=_INTERP)
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
         x = _iq(rng, C, 3 * T)
         acc, tail = nco.init_state(C), ref.init_state(C)
@@ -52,7 +56,7 @@ class TestFusedFrontend:
         """(1, T) shared input fans out across per-channel NCO words."""
         taps = FD.cic_equivalent_taps(4, 4, 1)
         ref = FirDecimator(taps, 4)
-        fus = FusedFrontend(taps, 4, interpret=True)
+        fus = FusedFrontend(taps, 4, interpret=_INTERP)
         C = 5
         words = jnp.asarray(nco.freq_word(np.linspace(1e3, 9e3, C), 192e3))
         x = jnp.asarray(_iq(rng, 1, 1024))
@@ -88,7 +92,7 @@ class TestFusedFrontend:
         the linearity split that lets the RDMA halo overlap the interior."""
         R, L, C, T = 8, 29, 4, 2048
         taps = FD.cic_equivalent_taps(R, 4, 1)
-        fus = FusedFrontend(taps, R, interpret=True)
+        fus = FusedFrontend(taps, R, interpret=_INTERP)
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
         x = jnp.asarray(_iq(rng, C, T))
         tail = jnp.asarray(_iq(rng, C, fus.H))
@@ -181,7 +185,7 @@ class TestFusedFrontend2:
         taps1 = FD.cic_equivalent_taps(R1, 4, 1)
         taps2 = FD.lowpass_taps(97, 0.4 / R2, 1.0)
         ref1, ref2 = FirDecimator(taps1, R1), FirDecimator(taps2, R2)
-        fus = FusedFrontend2(taps1, R1, taps2, R2, interpret=True)
+        fus = FusedFrontend2(taps1, R1, taps2, R2, interpret=_INTERP)
         C, T = 5, 16384
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 5e5, 1.536e6))
         x = _iq(rng, C, 3 * T)
@@ -204,8 +208,8 @@ class TestFusedFrontend2:
         from radioframe.kernels.fused_frontend2 import FusedFrontend2
 
         taps = FD.cic_equivalent_taps(8, 4, 1)
-        f1 = FusedFrontend(taps, 8, interpret=True)
-        f2 = FusedFrontend2(taps, 8, interpret=True)
+        f1 = FusedFrontend(taps, 8, interpret=_INTERP)
+        f2 = FusedFrontend2(taps, 8, interpret=_INTERP)
         C = 4
         words = jnp.asarray(nco.freq_word(np.linspace(-10e3, 10e3, C), 192e3))
         x = _iq(rng, C, 2 * 2048)

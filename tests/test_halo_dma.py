@@ -10,6 +10,10 @@ from jax.sharding import PartitionSpec as P
 from radioframe.kernels.halo_dma import causal_halo_dma
 from radioframe.shard.halo import causal_halo
 
+# kernel tests: interpret on the CPU mesh, COMPILED for real under
+# RADIOFRAME_TEST_TPU=1 (SURVEY 4.2 #5: same tests run unmodified on TPU)
+_INTERP = jax.default_backend() == "cpu"
+
 
 def _shard(f, mesh):
     return jax.jit(jax.shard_map(
@@ -31,7 +35,7 @@ def test_rdma_matches_ppermute(rng, D, H, dtype):
         x = rng.standard_normal((2, T)).astype(dtype)
         carry = rng.standard_normal((2, H)).astype(dtype)
 
-    f_dma = _shard(lambda c, x: causal_halo_dma(x, c, H, "time", interpret=True), mesh)
+    f_dma = _shard(lambda c, x: causal_halo_dma(x, c, H, "time", interpret=_INTERP), mesh)
     f_pp = _shard(lambda c, x: causal_halo(x, c, H, "time"), mesh)
     xp1, c1 = f_dma(jnp.asarray(carry), jnp.asarray(x))
     xp2, c2 = f_pp(jnp.asarray(carry), jnp.asarray(x))
