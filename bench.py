@@ -97,6 +97,12 @@ def bench_channelizer():
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
                             fuse_demod=True,
+                            # r4: ONE kernel for PFB+DFT+demod+AGC+waterfall
+                            # (the channel planes never touch HBM) with
+                            # manual-bf16x3 DFT matmuls (~2^-21 rel; full-
+                            # chain delta vs f32 measured 5e-4 = -66 dBFS,
+                            # asserted on-chip by tools/verify_tpu.py)
+                            fuse_single_pass=True, dft_precision="b3",
                             # the bench population runs SSB/CW/AM/NFM; the
                             # static mode subset (a config choice, like the
                             # reference's mode menu) skips compiling SAM/LSB
@@ -110,6 +116,11 @@ def bench_channelizer():
     mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
 
     def run(state, wb_ri, mode, n):
+        # complex entry measured FASTER than step_planes on slice-views of
+        # one (2, T) buffer (5.80 vs 5.32 Gsps): the de-interleave is
+        # loop-invariant (hoisted, paid once per 128 blocks) and yields
+        # fresh contiguous planes for the kernel. step_planes remains the
+        # right entry for genuinely separate I/Q plane buffers.
         wide = jax.lax.complex(wb_ri[0], wb_ri[1])
 
         def body(_, carry):
@@ -155,7 +166,8 @@ def bench_channelizer_sharded_d1():
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
-                            fuse_demod=True, enabled_modes=(0, 1, 2, 3))
+                            fuse_demod=True, enabled_modes=(0, 1, 2, 3),
+                            dft_precision="b3")
     chain = ChannelizerChain(cfg)
     mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
     sch = ShardedChannelizer(chain, mesh)

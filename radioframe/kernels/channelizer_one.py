@@ -1,0 +1,275 @@
+"""Pallas TPU kernel: the ENTIRE channelizer in one VMEM pass.
+
+Composition of kernels/pfb_dft.py (polyphase accumulate + Cooley-Tukey MXU
+DFT) and kernels/demod_agc.py (demod bank + attack/release AGC + waterfall
+power), fused so the (F, M) channel planes never touch HBM at all: the
+two-kernel r3 formulation wrote 67 MB of planes and immediately re-read
+them (134 MB of HBM traffic per 8.4 M-sample block — more than the input
+stream itself). Here each grid step polyphase-filters one frame tile,
+DFTs it on the MXU, and demodulates it while it is still in registers;
+HBM sees only the wideband input once and the audio/waterfall outputs.
+
+Channel layout is the DFT's native (k1, k2) order throughout (see
+pfb_dft.FusedPfbDft.chan_perm); per-channel constants arrive pre-permuted
+from the chain (pipelines/channelizer.py _step_fused). Both carried states
+(PFB frame history and the 7-row demod/AGC carry) live in VMEM scratch
+across the sequential grid, seeded from block state at tile 0 — the same
+streaming contract as the two separate kernels, so this kernel is a
+drop-in for their composition (parity-tested in tests/test_channelizer.py
+TestSinglePassChannelizer).
+
+Reference analog: the FPGA runs DDC, channel filter, and AGC as ONE
+hardware pipeline with no full-rate buffering between stages (SURVEY.md
+§2.1 #1-#9); this is that design point on the TPU memory hierarchy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from radioframe.kernels.demod_agc import demod_agc_tile
+from radioframe.kernels.pfb_dft import _dft_consts, _mm_p
+from radioframe.ops import demod as demod_op
+
+
+def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
+            en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas, dev_scale,
+            # inputs: PFB part
+            xr_ref, xi_ref, tl_ref, h_ref,
+            w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+            # inputs: demod part (native channel order, (1, M1, M2) each)
+            mode_ref, cw_word_ref, cw_acc_ref, rel_ref, al_ref, tgt_ref,
+            mg_ref, ltri_ref, atri_ref, dcol_ref, st_in_ref,
+            # outputs
+            audio_ref, wf_ref, st_out_ref,
+            # scratch
+            hr_ref, hi_ref, carry_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _seed():
+        hr_ref[...] = tl_ref[0]
+        hi_ref[...] = tl_ref[1]
+        carry_ref[...] = st_in_ref[...]
+
+    # ---- PFB: polyphase accumulation over K frame taps ------------------
+    fr = jnp.concatenate([hr_ref[...], xr_ref[...]], axis=0)  # (TF+K-1, M1, M2)
+    fi = jnp.concatenate([hi_ref[...], xi_ref[...]], axis=0)
+    hr_ref[...] = fr[TF:]
+    hi_ref[...] = fi[TF:]
+    ur = jnp.zeros((TF, M1, M2), jnp.float32)
+    ui = jnp.zeros((TF, M1, M2), jnp.float32)
+    for t in range(K):
+        w = h_ref[t][None]
+        ur = ur + w * fr[K - 1 - t: K - 1 - t + TF]
+        ui = ui + w * fi[K - 1 - t: K - 1 - t + TF]
+
+    # ---- M-point DFT, Cooley-Tukey M1 x M2 (see pfb_dft.py) -------------
+    _mm = _mm_p(prec)
+    w1r, w1i = w1r_ref[...], w1i_ref[...]
+    ar = _mm(ur, w1r) - _mm(ui, w1i)   # (TF, n2, k1)
+    ai = _mm(ur, w1i) + _mm(ui, w1r)
+    twr, twi = twr_ref[...], twi_ref[...]
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    w2r, w2i = w2r_ref[...], w2i_ref[...]
+    yr = _mm(br, w2r) - _mm(bi, w2i)   # (TF, k1, k2) — native channel order
+    yi = _mm(br, w2i) + _mm(bi, w2r)
+
+    # ---- demod bank + AGC + waterfall, straight from registers ----------
+    audio, wf = demod_agc_tile(
+        i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas,
+        dev_scale, yr, yi, mode_ref[...], cw_word_ref[...], cw_acc_ref[...],
+        rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
+        ltri_ref, atri_ref, dcol_ref, carry_ref)
+    audio_ref[...] = audio
+    wf_ref[...] = wf[None]
+
+    @pl.when(i == grid - 1)
+    def _emit_state():
+        st_out_ref[...] = carry_ref[...]
+
+
+class FusedChannelizerOne:
+    """Single-pass channelizer: wideband planes -> native-order audio.
+
+    (tail (1, (K-1)M) c64, x (1, T) c64, per-channel constants in NATIVE
+    (k1, k2) order, st_in (7, M) native) ->
+    (audio (F, M) f32 native, power (M,), wf_power (F/avg, M), st_out).
+    Same streaming state contract as FusedPfbDft + FusedDemodAgc composed.
+    """
+
+    MAX_GRID = 256
+
+    def __init__(self, num_channels: int, taps_per_channel: int,
+                 fs_channel: float, nfm_deviation_hz: float,
+                 wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
+                 attack_alphas: tuple = (), window: str = "hamming",
+                 interpret: bool = False, dft_precision: str = "highest"):
+        from radioframe.ops.filter_design import pfb_prototype_taps
+
+        self.M = int(num_channels)
+        assert self.M & (self.M - 1) == 0, "fused channelizer needs pow2 M"
+        self.K = int(taps_per_channel)
+        proto = pfb_prototype_taps(self.M, self.K, window)
+        self._h = np.ascontiguousarray(proto.reshape(self.K, self.M)
+                                       .astype(np.float32))
+        (self.M1, self.M2, self._w1r, self._w1i, self._w2r, self._w2i,
+         self._twr, self._twi) = _dft_consts(self.M)
+        self._prec = {"highest": lax.Precision.HIGHEST,
+                      "b3": "b3"}[dft_precision]
+        self.fs = float(fs_channel)
+        self.dev_scale = float(fs_channel / (2.0 * np.pi * nfm_deviation_hz))
+        self.wf_avg = max(1, int(wf_avg))
+        # VMEM frame-tile cap: the union of both kernels' live sets (~20
+        # (TF, M) f32 arrays at peak); 32 frames at M=4096 fits 32 MB
+        self.max_tf = max(8, min(128, (32 * 4096) // self.M))
+        if (self.wf_avg & (self.wf_avg - 1)) or self.wf_avg > self.max_tf:
+            raise ValueError(
+                f"waterfall_frame_avg={self.wf_avg} must be a power of two "
+                f"<= {self.max_tf} at M={self.M} (single-pass kernel tile)")
+        en = frozenset(map(int, enabled))
+        assert demod_op.SAM not in en, "SAM needs the dense XLA bank"
+        self.en = en
+        self.attack_alphas = tuple(sorted({float(a) for a in attack_alphas
+                                           if float(a) != 0.0}))
+        self.interpret = interpret
+
+    def release_ok(self, release_values) -> bool:
+        """Same rescale-boundedness guard as FusedDemodAgc.release_ok."""
+        rmin = float(np.min(np.asarray(release_values, np.float64)))
+        return 0.0 < rmin < 1.0 and rmin ** -(self.max_tf - 1) <= 64.0
+
+    def init_tail(self):
+        return jnp.zeros((1, (self.K - 1) * self.M), dtype=jnp.complex64)
+
+    def _pick_tf(self, F: int) -> int:
+        tf = 1
+        while tf * 2 <= min(F, self.max_tf) and F % (tf * 2) == 0:
+            tf *= 2
+        assert tf % self.wf_avg == 0, (tf, self.wf_avg)
+        return tf
+
+    def __call__(self, tail, x, mode, cw_word, cw_acc, rel, al, tgt, mg,
+                 st_in):
+        """All per-channel vectors in NATIVE order; x (1, T) complex."""
+        return self.call_planes(tail, jnp.real(x[0]), jnp.imag(x[0]), mode,
+                                cw_word, cw_acc, rel, al, tgt, mg, st_in)
+
+    def call_planes(self, tail, wr, wi, mode, cw_word, cw_acc, rel, al, tgt,
+                    mg, st_in):
+        """Plane-input form: wr/wi (T,) f32 — the production interface (the
+        ADC stream arrives as separate I/Q words, and interleaved complex64
+        would cost two extra full-rate de/re-interleave passes here)."""
+        T = wr.shape[-1]
+        assert T % self.M == 0
+        K, M, M1, M2 = self.K, self.M, self.M1, self.M2
+        F = T // M
+        TF = self._pick_tf(F)
+        grid = F // TF
+        if grid > self.MAX_GRID:  # sequential chunking, same state contract
+            chunk_T = self.MAX_GRID * TF * M
+            outs = []
+            for t0 in range(0, T, chunk_T):
+                audio, pw, wf, st_in = self.call_planes(
+                    tail, wr[t0: t0 + chunk_T], wi[t0: t0 + chunk_T], mode,
+                    cw_word, cw_acc, rel, al, tgt, mg, st_in)
+                cw_acc = cw_acc + cw_word * jnp.int32(chunk_T // M)
+                tail = jax.lax.complex(
+                    wr[t0 + chunk_T - (K - 1) * M: t0 + chunk_T],
+                    wi[t0 + chunk_T - (K - 1) * M: t0 + chunk_T])[None]
+                outs.append((audio, wf))
+            # power row 6 accumulates THROUGH st_in across chunks — the
+            # final chunk's pw is already the whole-block total
+            return (jnp.concatenate([o[0] for o in outs], axis=0), pw,
+                    jnp.concatenate([o[1] for o in outs], axis=0), st_in)
+
+        xr = wr.reshape(F, M1, M2)
+        xi = wi.reshape(F, M1, M2)
+        t2 = tail[0].reshape(K - 1, M1, M2)
+        tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
+        gj = np.subtract.outer(np.arange(TF), np.arange(TF))
+        from radioframe.kernels.demod_agc import _DC_POLE
+
+        ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
+        n_a = max(1, len(self.attack_alphas))
+        atri = np.zeros((n_a, TF, TF), np.float32)
+        g1 = np.arange(1, TF + 1, dtype=np.float64)
+        dcols = [np.float64(_DC_POLE) ** g1]
+        for k, a in enumerate(self.attack_alphas):
+            atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
+            dcols.append(np.float64(a) ** g1)
+        dcol = np.stack(dcols, axis=1).astype(np.float32)
+
+        en = self.en
+        kern = functools.partial(
+            _kernel, TF, K, M1, M2, self._prec, grid, self.wf_avg,
+            demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
+            demod_op.AM in en, demod_op.NFM in en, self.attack_alphas,
+            self.dev_scale)
+        c = lambda a: jnp.asarray(a)
+        h3 = self._h.reshape(K, M1, M2)
+        cmap = lambda v, dt: jnp.asarray(v, dt).reshape(1, M1, M2)
+        whole3 = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))
+        wf_block = TF // self.wf_avg
+        audio, wf, st_out = pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                whole3((2, K - 1, M1, M2)),
+                whole3((K, M1, M2)),
+                whole3((M1, M1)), whole3((M1, M1)),
+                whole3((M2, M2)), whole3((M2, M2)),
+                whole3((M2, M1)), whole3((M2, M1)),
+                whole3((1, M1, M2)), whole3((1, M1, M2)),
+                whole3((1, M1, M2)), whole3((1, M1, M2)),
+                whole3((1, M1, M2)), whole3((1, M1, M2)),
+                whole3((1, M1, M2)),
+                whole3((TF, TF)),
+                whole3((n_a, TF, TF)),
+                whole3((TF, 1 + len(self.attack_alphas))),
+                whole3((7, M1, M2)),
+            ],
+            out_specs=[
+                pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, wf_block, M1, M2), lambda i: (i, 0, 0, 0)),
+                whole3((7, M1, M2)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((F, M1, M2), jnp.float32),
+                jax.ShapeDtypeStruct((grid, wf_block, M1, M2), jnp.float32),
+                jax.ShapeDtypeStruct((7, M1, M2), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((K - 1, M1, M2), jnp.float32),
+                            pltpu.VMEM((K - 1, M1, M2), jnp.float32),
+                            pltpu.VMEM((7, M1, M2), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),  # sequential: carries
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=self.interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * F * M * K + 8 * F * M * (M1 + M2) + 40 * F * M,
+                bytes_accessed=3 * F * M * 4,
+                transcendentals=3 * F * M,
+            ),
+        )(xr, xi, tl, c(h3), c(self._w1r), c(self._w1i), c(self._w2r),
+          c(self._w2i), c(self._twr), c(self._twi),
+          cmap(mode, jnp.int32), cmap(cw_word, jnp.int32),
+          cmap(cw_acc, jnp.int32), cmap(rel, jnp.float32),
+          cmap(al, jnp.float32), cmap(tgt, jnp.float32),
+          cmap(mg, jnp.float32), c(ltri), c(atri), c(dcol),
+          st_in.astype(jnp.float32).reshape(7, M1, M2))
+
+        audio = audio.reshape(F, M)
+        wf = wf.reshape(F // self.wf_avg, M)
+        st_out = st_out.reshape(7, M)
+        return audio, st_out[6], wf, st_out

@@ -72,7 +72,7 @@ def _atan2(y, x):
 def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
             en_nfm, alphas,
             yr_ref, yi_ref, mode_ref, cw_word_ref, cw_acc_ref, rel_ref,
-            al_ref, tgt_ref, mg_ref, ltri_ref, atri_ref, st_in_ref,
+            al_ref, tgt_ref, mg_ref, ltri_ref, atri_ref, dcol_ref, st_in_ref,
             audio_ref, wf_ref, st_out_ref, carry_ref):
     i = pl.program_id(0)
 
@@ -83,14 +83,37 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
         # [6]=power accum
         carry_ref[...] = st_in_ref[...]
 
-    xr = yr_ref[...]  # (TF, M)
-    xi = yi_ref[...]
-    mode = mode_ref[...]  # (1, M) int32
-    audio = jnp.zeros((TF, M), jnp.float32)
+    audio, wf = demod_agc_tile(
+        i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas,
+        dev_scale, yr_ref[...], yi_ref[...], mode_ref[...], cw_word_ref[...],
+        cw_acc_ref[...], rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
+        ltri_ref, atri_ref, dcol_ref, carry_ref)
+    audio_ref[...] = audio
+    wf_ref[...] = wf[None]
+
+    @pl.when(i == grid - 1)
+    def _emit_state():
+        st_out_ref[...] = carry_ref[...]
+
+
+def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
+                   alphas, dev_scale, xr, xi, mode, cw_word, cw_acc, rel, al,
+                   tgt, mg, ltri_ref, atri_ref, dcol_ref, carry_ref):
+    """One frame-tile of the demod bank + AGC, rank-agnostic.
+
+    ``xr``/``xi`` are (TF, M) or (TF, M1, M2) VALUES (channels on the
+    trailing dim(s)); the per-channel constants are (1, M)/(1, M1, M2);
+    ``carry_ref`` is the (7, ...) VMEM carry. Shared by the standalone
+    FusedDemodAgc kernel and the single-pass channelizer kernel
+    (kernels/channelizer_one.py) — the math is identical, only the channel
+    layout differs. Returns (audio, wf_tile)."""
+    cdim = xr.shape[1:]  # trailing channel dims
+    ones = (1,) * len(cdim)
+    audio = jnp.zeros(xr.shape, jnp.float32)
 
     # --- SSB / LSB: 2*Re -------------------------------------------------
     if en_ssb or en_lsb:
-        mask = jnp.zeros((1, M), jnp.bool_)
+        mask = jnp.zeros((1,) + cdim, jnp.bool_)
         if en_ssb:
             mask = mask | (mode == demod_op.SSB)
         if en_lsb:
@@ -99,8 +122,8 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
 
     # --- CW: beat-tone mix up (int32 DDS angles at frame index) ----------
     if en_cw:
-        g = (i * TF) + jax.lax.broadcasted_iota(jnp.int32, (TF, M), 0)
-        ang = (cw_acc_ref[...] + cw_word_ref[...] * g).astype(jnp.float32) * _SCALE
+        g = (i * TF) + jax.lax.broadcasted_iota(jnp.int32, xr.shape, 0)
+        ang = (cw_acc + cw_word * g).astype(jnp.float32) * _SCALE
         c, s = jnp.cos(ang), jnp.sin(ang)
         y_cw = 2.0 * (xr * c - xi * s)
         audio = audio + jnp.where(mode == demod_op.CW, y_cw, 0.0)
@@ -110,14 +133,14 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
         env = jnp.sqrt(xr * xr + xi * xi)
         xprev = jnp.concatenate([carry_ref[0:1], env[: TF - 1]], axis=0)
         b = env - xprev
-        a = jnp.float32(_DC_POLE)
-        f = jax.lax.broadcasted_iota(jnp.int32, (TF, 1), 0).astype(jnp.float32)
         # ltri[g, j] = a^{g-j} (j <= g) already encodes the decay:
-        # y[g] = sum_j a^{g-j} b[j] + a^{g+1} carry
+        # y[g] = sum_j a^{g-j} b[j] + a^{g+1} carry; dcol_ref[:, 0] is the
+        # host-precomputed a^{g+1} column (pow = exp+log on the VPU — every
+        # static power is hoisted off the chip, r4 transcendental diet)
         pref = jax.lax.dot_general(ltri_ref[...], b, (((1,), (0,)), ((), ())),
                                    precision=lax.Precision.HIGHEST,
                                    preferred_element_type=jnp.float32)
-        y_am = pref + carry_ref[1:2] * (a ** (f + 1.0))
+        y_am = pref + carry_ref[1:2] * dcol_ref[:, 0:1].reshape((TF,) + ones)
         carry_ref[0:1] = env[TF - 1: TF]
         carry_ref[1:2] = y_am[TF - 1: TF]
         audio = audio + jnp.where(mode == demod_op.AM, y_am, 0.0)
@@ -133,20 +156,23 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
         carry_ref[3:4] = xi[TF - 1: TF]
         audio = audio + jnp.where(mode == demod_op.NFM, y_nfm, 0.0)
 
-    # --- AGC: release max-decay (rescale + log-step cummax), instant attack
+    # --- AGC: release max-decay (rescale + log-step cummax) --------------
     mag = jnp.abs(audio)
-    rel = rel_ref[...]  # (1, M) per-channel release decay
-    f1 = jax.lax.broadcasted_iota(jnp.int32, (TF, 1), 0).astype(jnp.float32)
-    w = mag * (rel ** (-f1))
+    # ONE pow array A = rel^{f1}; rel^{-f1} = 1/A and rel^{f1+1} = A*rel are
+    # derived by mul/div — pow lowers to exp(log) on the VPU, so this cuts
+    # 2 of the 3 (TF, M) transcendental arrays per tile (r4)
+    f1 = jax.lax.broadcasted_iota(
+        jnp.int32, (TF,) + ones, 0).astype(jnp.float32)
+    A = rel ** f1
+    w = mag / A
     # cummax over the frame (sublane) axis via log-step shifted maxes
     k = 1
     while k < TF:
         shifted = jnp.concatenate(
-            [jnp.full((k, M), -np.inf, jnp.float32), w[: TF - k]], axis=0)
+            [jnp.full((k,) + cdim, -np.inf, jnp.float32), w[: TF - k]], axis=0)
         w = jnp.maximum(w, shifted)
         k *= 2
-    env_r = w * (rel ** f1)
-    env_r = jnp.maximum(env_r, carry_ref[4:5] * (rel ** (f1 + 1.0)))
+    env_r = jnp.maximum(w * A, carry_ref[4:5] * (A * rel))
     carry_ref[4:5] = env_r[TF - 1: TF]
 
     # --- AGC attack: one-pole lpf over env_r (VERDICT r3 ask #5) ---------
@@ -156,7 +182,6 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
     # exact, no rescale/overflow bound; a^{g-j} underflow -> 0 is correct
     # forgetting) and mask-select per channel; a=0 channels keep env_r.
     if alphas:
-        al = al_ref[...]  # (1, M) per-channel attack alpha (0 = instant)
         b = (1.0 - al) * env_r
         env = jnp.where(al == 0.0, env_r, 0.0)
         for k, a in enumerate(alphas):
@@ -164,23 +189,22 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
                 atri_ref[k], b, (((1,), (0,)), ((), ())),
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)
-            cand = pref + carry_ref[5:6] * (jnp.float32(a) ** (f1 + 1.0))
+            # dcol_ref[:, 1+k] = a^{g+1}, host-precomputed
+            cand = pref + (carry_ref[5:6]
+                           * dcol_ref[:, 1 + k: 2 + k].reshape((TF,) + ones))
             env = env + jnp.where(al == jnp.float32(a), cand, 0.0)
     else:
         env = env_r  # instant attack everywhere: the one-pole is identity
     carry_ref[5:6] = env[TF - 1: TF]
-    gain = jnp.minimum(mg_ref[...], tgt_ref[...] / jnp.maximum(env, 1e-9))
+    gain = jnp.minimum(mg, tgt / jnp.maximum(env, 1e-9))
     agc_audio = audio * gain
-    audio_ref[...] = jnp.where(mode == demod_op.NFM, audio, agc_audio)
+    audio = jnp.where(mode == demod_op.NFM, audio, agc_audio)
 
     # --- aux: power accumulation + averaged waterfall power --------------
     p = xr * xr + xi * xi
     carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
-    wf_ref[...] = jnp.mean(p.reshape(TF // wf_avg, wf_avg, M), axis=1)[None]
-
-    @pl.when(i == grid - 1)
-    def _emit_state():
-        st_out_ref[...] = carry_ref[...]
+    wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
+    return audio, wf
 
 
 class FusedDemodAgc:
@@ -249,6 +273,11 @@ class FusedDemodAgc:
         assert grid <= self.MAX_GRID, "chunk longer blocks upstream"
         gj = np.subtract.outer(np.arange(TF), np.arange(TF))
         ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
+        # host-precomputed per-frame decay columns a^{g+1} (see kernel)
+        g1 = np.arange(1, TF + 1, dtype=np.float64)
+        dcol = np.stack([np.float64(_DC_POLE) ** g1]
+                        + [np.float64(a) ** g1 for a in self.attack_alphas],
+                        axis=1).astype(np.float32)
         # attack prefix matrices: atri[k][g, j] = (1 is NOT folded here —
         # the kernel multiplies b = (1-a)*env_r) a_k^{g-j} for j <= g
         n_a = max(1, len(self.attack_alphas))
@@ -278,6 +307,7 @@ class FusedDemodAgc:
                 pl.BlockSpec((1, M), lambda i: (0, 0)),
                 pl.BlockSpec((TF, TF), lambda i: (0, 0)),
                 pl.BlockSpec((n_a, TF, TF), lambda i: (0, 0, 0)),
+                pl.BlockSpec((TF, dcol.shape[1]), lambda i: (0, 0)),
                 pl.BlockSpec((7, M), lambda i: (0, 0)),
             ],
             out_specs=[
@@ -305,6 +335,7 @@ class FusedDemodAgc:
         )(yr, yi, row(mode, jnp.int32), row(cw_word, jnp.int32),
           row(cw_acc, jnp.int32), row(rel, jnp.float32),
           row(al, jnp.float32), row(tgt, jnp.float32), row(mg, jnp.float32),
-          jnp.asarray(ltri), jnp.asarray(atri), st_in.astype(jnp.float32))
+          jnp.asarray(ltri), jnp.asarray(atri), jnp.asarray(dcol),
+          st_in.astype(jnp.float32))
         wf = wf.reshape(wf_rows, M)
         return audio, st_out[6], wf, st_out

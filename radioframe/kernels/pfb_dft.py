@@ -56,14 +56,34 @@ def _dft_consts(M: int):
             f32(TW.real), f32(TW.imag))
 
 
-def _mm(a, b):
-    """(TF, n, m) contract axis 1 (n) with b (n, k) -> (TF, m, k)."""
-    return lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                           precision=lax.Precision.HIGHEST,
-                           preferred_element_type=jnp.float32)
+def _mm_p(prec):
+    """(TF, n, m) contract axis 1 (n) with b (n, k) -> (TF, m, k).
+
+    prec is a lax.Precision, or the string "b3" for a MANUAL bf16x3
+    split-product (a_hi@b_hi + a_hi@b_lo + a_lo@b_hi, f32 accumulation):
+    ~2^-21 relative error at HALF the MXU passes of HIGHEST (3 one-pass
+    bf16 dots vs 6) — Mosaic rejects precision=HIGH in-kernel, so the
+    classic error-free-split is spelled out. Identical split terms CSE
+    across the four real matmuls sharing an operand."""
+    dims = (((1,), (0,)), ((), ()))
+    if prec == "b3":
+        def mm(a, b):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = lambda x, y: lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32)
+            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+        return mm
+
+    def mm(a, b):
+        return lax.dot_general(a, b, dims, precision=prec,
+                               preferred_element_type=jnp.float32)
+    return mm
 
 
-def _kernel(TF, K, M1, M2,
+def _kernel(TF, K, M1, M2, prec,
             xr_ref, xi_ref, tl_ref, h_ref,
             w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
             yr_ref, yi_ref, hr_ref, hi_ref):
@@ -90,6 +110,7 @@ def _kernel(TF, K, M1, M2,
     # M-point DFT, Cooley-Tukey M1 x M2 (n = M2*n1 + n2, k = M1*k2 + k1):
     # both contractions run over axis 1 via dot_general — values stay 3D
     # with a full-lane (M2 or M1-lane) minor dim, no in-kernel reshapes
+    _mm = _mm_p(prec)
     w1r, w1i = w1r_ref[...], w1i_ref[...]
     # A[n2, k1] = sum_n1 u[n1, n2] W1[n1, k1]
     ar = _mm(ur, w1r) - _mm(ui, w1i)   # (TF, n2, k1)
@@ -111,8 +132,18 @@ class FusedPfbDft:
     MAX_GRID = 256
 
     def __init__(self, num_channels: int, taps_per_channel: int = 8,
-                 window: str = "hamming", interpret: bool = False):
+                 window: str = "hamming", interpret: bool = False,
+                 dft_precision: str = "highest"):
         from radioframe.ops.filter_design import pfb_prototype_taps
+        from jax import lax as _lax
+
+        # DFT matmul precision: "highest" = 6-pass f32 (the r3 default;
+        # plain bf16 measured 1.7e-2 rel err — unusable). "b3" = manual
+        # 3-pass bf16x3 split (~2^-21 rel, half the MXU passes; Mosaic has
+        # no precision=HIGH) — verified on-chip by tools/verify_tpu.py
+        # before being trusted (r4).
+        self._prec = {"highest": _lax.Precision.HIGHEST,
+                      "b3": "b3"}[dft_precision]
 
         self.M = int(num_channels)
         assert self.M & (self.M - 1) == 0, "fused PFB needs pow2 M"
@@ -188,7 +219,7 @@ class FusedPfbDft:
         t2 = tail[0].reshape(K - 1, M1, M2)
         tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
 
-        kern = functools.partial(_kernel, TF, K, M1, M2)
+        kern = functools.partial(_kernel, TF, K, M1, M2, self._prec)
         c = lambda a: jnp.asarray(a)
         h3 = self._h.reshape(K, M1, M2)
         yr, yi = pl.pallas_call(

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -50,6 +51,16 @@ class ChannelizerConfig:
     # the polyphase accumulate + Cooley-Tukey MXU DFT. pow2 M only;
     # interpret-mode on CPU (parity-tested), compiled on TPU
     fuse_pfb: bool = False
+    # DFT matmul precision: "highest" (6-pass f32) or "high" (3-pass bf16x3,
+    # ~f32 mantissa at ~2x MXU rate); on-chip parity asserted by
+    # tools/verify_tpu.py for the shipped setting
+    dft_precision: str = "highest"
+    # single-pass channelizer kernel (kernels/channelizer_one.py): PFB +
+    # DFT + demod + AGC + waterfall in ONE VMEM pass — the channel planes
+    # never touch HBM (the two-kernel form pays a 2x-input-size interstage
+    # round trip). Requires fuse_pfb + fuse_demod; unsharded path only (the
+    # sharded channelizer needs the all_to_all between the stages).
+    fuse_single_pass: bool = False
     # fused Pallas demod+AGC back end (kernels/demod_agc.py): consumes the
     # PFB kernel's frame-major planes directly — the (M, F) complex channel
     # matrix is never materialized. Requires fuse_pfb, waterfall_from_pfb,
@@ -84,7 +95,8 @@ class ChannelizerChain:
             from radioframe.kernels.pfb_dft import FusedPfbDft
 
             self.pfb = FusedPfbDft(cfg.num_channels, cfg.taps_per_channel,
-                                   interpret=_jax.default_backend() == "cpu")
+                                   interpret=_jax.default_backend() == "cpu",
+                                   dft_precision=cfg.dft_precision)
         else:
             self.pfb = PfbChannelizer(cfg.num_channels, cfg.taps_per_channel)
         self.spectrum = Spectrum(cfg.spectrum_nfft, cfg.spectrum_avg)
@@ -126,6 +138,17 @@ class ChannelizerChain:
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
                 attack_alphas=tuple(self.agc_bank.alpha.tolist()),
                 interpret=_jax.default_backend() == "cpu")
+            self.one_kernel = None
+            if cfg.fuse_single_pass:
+                from radioframe.kernels.channelizer_one import FusedChannelizerOne
+
+                self.one_kernel = FusedChannelizerOne(
+                    cfg.num_channels, cfg.taps_per_channel, cfg.fs_channel,
+                    cfg.nfm_deviation_hz, wf_avg=cfg.waterfall_frame_avg,
+                    enabled=en,
+                    attack_alphas=tuple(self.agc_bank.alpha.tolist()),
+                    interpret=_jax.default_backend() == "cpu",
+                    dft_precision=cfg.dft_precision)
             if not self.demod_kernel.release_ok(self.agc_bank.release):
                 # ADVICE r3: the in-kernel release rescale rel**(-f1) must
                 # stay bounded across a frame tile (see FusedDemodAgc
@@ -149,6 +172,19 @@ class ChannelizerChain:
             "agc": self.agc_bank.init_state(M),
             "spec": spec,
         }
+
+    def step_planes(self, state, wr, wi, mode):
+        """Plane-input block step (single-pass fused path only): wr/wi (T,)
+        f32 I/Q planes — the ADC's native stream layout. Skips the complex
+        interleave/de-interleave round trip that ``step`` would pay
+        (measured ~0.1 ms/block at config 5; interleaved complex64 is a
+        storage format the kernel never wants)."""
+        assert getattr(self, "one_kernel", None) is not None, (
+            "step_planes requires fuse_single_pass=True")
+        assert wr.shape[-1] % self.min_block == 0, (
+            f"block length {wr.shape[-1]} must be a multiple of "
+            f"{self.min_block}")
+        return self._step_fused(state, (wr, wi), mode)
 
     def step(self, state, wideband, mode):
         cfg = self.cfg
@@ -188,41 +224,81 @@ class ChannelizerChain:
         Channel ordering (VERDICT r3 ask #3): the planes stay in the PFB
         kernel's NATIVE (k1, k2) order end-to-end — the demod/AGC math is
         per-channel elementwise, so only the O(M) constant vectors (mode,
-        AGC rows, carries) are permuted into native order, deleting the
-        O(F*M) untangle transpose; the single remaining reorder is fused
-        into the API-boundary audio transpose as one gather."""
+        AGC rows, carries) are reordered into native order. The native->
+        channel permutation is itself a (k1, k2) axis swap, so the
+        un-permute COMPOSES with the API-boundary (F, M) -> (M, F) audio
+        transpose into ONE 3D transpose (F, M1, M2) -> (M2, M1, F) — the
+        r3 path paid two full-rate transposes (untangle + output), this
+        pays one. (A jnp.take gather formulation was measured SLOWER than
+        the transposes it replaced — 3.13 vs 3.71 Gsps; TPU gathers lose
+        to its native transpose path.)"""
         cfg = self.cfg
         M = cfg.num_channels
-        perm = jnp.asarray(self.pfb.chan_perm)  # native col r -> channel
-        inv = jnp.asarray(self.pfb.chan_inv)    # channel c -> native col
-        (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"],
-                                                  wideband[None, :],
-                                                  native=True)
+        M1, M2 = self.pfb.M1, self.pfb.M2
+
+        def to_native(v):  # channel order -> native: v_n[k1*M2+k2] = v_c[M1*k2+k1]
+            return jnp.swapaxes(v.reshape(v.shape[:-1] + (M2, M1)), -2, -1) \
+                      .reshape(v.shape)
+
+        def to_channel(v):  # native -> channel order (inverse axis swap)
+            return jnp.swapaxes(v.reshape(v.shape[:-1] + (M1, M2)), -2, -1) \
+                      .reshape(v.shape)
+
         d, a = state["demod"], state["agc"]
-        d_n = {"cw_phase": jnp.take(d["cw_phase"], perm),
-               "am_dc": jnp.take(d["am_dc"], perm, axis=1),
-               "nfm_last": jnp.take(d["nfm_last"], perm),
+        d_n = {"cw_phase": to_native(d["cw_phase"]),
+               "am_dc": to_native(d["am_dc"]),
+               "nfm_last": to_native(d["nfm_last"]),
                # SAM leaves are pass-throughs on the fused path: keep them
                # in channel order so the untouched copies stay correct
                "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"]}
-        a_n = {"env": jnp.take(a["env"], perm),
-               "lpf": jnp.take(a["lpf"], perm)}
-        audio_fm, power_sum, wfp, nd_n, na_n = fused_backend_apply(
-            self.demod_kernel, self.agc_bank, self.cw_tone_word,
-            d_n, a_n, yr, yi, jnp.take(mode, perm))
-        audio = jnp.take(audio_fm, inv, axis=1).T  # (M, F), one fused gather
-        aux = {"channel_power": jnp.take(power_sum, inv) / jnp.float32(yr.shape[0])}
+        a_n = {"env": to_native(a["env"]), "lpf": to_native(a["lpf"])}
+        if getattr(self, "one_kernel", None) is not None:
+            # single-pass kernel: wideband in, native audio out — the
+            # channel planes never exist in HBM. wideband may arrive as a
+            # complex vector or as (wr, wi) planes (step_planes — saves two
+            # full-rate de/re-interleave passes on plane-fed streams)
+            if isinstance(wideband, tuple):
+                wr, wi = wideband
+            else:
+                wr, wi = jnp.real(wideband), jnp.imag(wideband)
+            T = wr.shape[-1]
+            K = self.one_kernel.K
+            mode_n = to_native(mode)
+            st_in = _pack_backend_state(d_n, a_n)
+            cw_word = jnp.full((M,), self.cw_tone_word, jnp.int32)
+            rel, al, tgt, mg = self.agc_bank.per_channel(mode_n)
+            audio_fm, power_sum, wfp, st_out = self.one_kernel.call_planes(
+                state["pfb"], wr, wi, mode_n, cw_word, d_n["cw_phase"],
+                rel, al, tgt, mg, st_in)
+            tl = (K - 1) * M
+            pfb_tail = (jax.lax.complex(wr[T - tl:], wi[T - tl:])[None]
+                        if T >= tl else jnp.concatenate(
+                            [state["pfb"],
+                             jax.lax.complex(wr, wi)[None]], axis=-1)[:, -tl:])
+            F = T // M
+            nd_n, na_n = _unpack_backend_state(st_out, d_n, cw_word, F)
+        else:
+            (yr, yi), pfb_tail = self.pfb.call_planes(state["pfb"],
+                                                      wideband[None, :],
+                                                      native=True)
+            audio_fm, power_sum, wfp, nd_n, na_n = fused_backend_apply(
+                self.demod_kernel, self.agc_bank, self.cw_tone_word,
+                d_n, a_n, yr, yi, to_native(mode))
+            F = yr.shape[0]
+        # the ONE full-rate data movement: native (F, k1, k2) -> (M, F),
+        # decomposed as the fast 2D transpose + a major-axes block swap
+        # (minor dim F untouched — no lane movement; XLA fuses the pair)
+        audio = audio_fm.T.reshape(M1, M2, F).swapaxes(0, 1).reshape(M, F)
+        aux = {"channel_power": to_channel(power_sum) / jnp.float32(F)}
         db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
-        # un-permute + fftshift roll composed into ONE small gather:
-        # out[:, j] = db_channelorder[:, (j - M/2) mod M] = db[:, wf_idx[j]]
-        wf_idx = jnp.asarray(np.roll(self.pfb.chan_inv, M // 2))
-        aux["waterfall"] = jnp.take(db, wf_idx, axis=-1)  # (F/avg, M)
-        new_demod = {"cw_phase": jnp.take(nd_n["cw_phase"], inv),
-                     "am_dc": jnp.take(nd_n["am_dc"], inv, axis=1),
-                     "nfm_last": jnp.take(nd_n["nfm_last"], inv),
+        wf = jnp.transpose(db.reshape(-1, M1, M2), (0, 2, 1)).reshape(db.shape)
+        aux["waterfall"] = jnp.roll(wf, M // 2, axis=-1)  # (F/avg, M)
+        new_demod = {"cw_phase": to_channel(nd_n["cw_phase"]),
+                     "am_dc": to_channel(nd_n["am_dc"]),
+                     "nfm_last": to_channel(nd_n["nfm_last"]),
                      "sam_dc": nd_n["sam_dc"], "sam_carrier": nd_n["sam_carrier"]}
-        new_agc = {"hist": (), "env": jnp.take(na_n["env"], inv),
-                   "lpf": jnp.take(na_n["lpf"], inv)}
+        new_agc = {"hist": (), "env": to_channel(na_n["env"]),
+                   "lpf": to_channel(na_n["lpf"])}
         new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
                      "spec": state["spec"]}
         return new_state, audio, aux
@@ -239,20 +315,34 @@ def fused_backend_apply(kernel, agc_bank, cw_tone_word, demod_state, agc_state,
     power_sum (M_local,), wf_power (F/avg, M_local), demod_state',
     agc_state')."""
     F, Ml = yr.shape
-    d = demod_state
-    st_in = jnp.stack([
-        d["am_dc"][0], d["am_dc"][1],
-        jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
-        agc_state["env"], agc_state["lpf"], jnp.zeros((Ml,), jnp.float32)])
+    st_in = _pack_backend_state(demod_state, agc_state)
     cw_word = jnp.full((Ml,), cw_tone_word, jnp.int32)
     rel, al, tgt, mg = agc_bank.per_channel(mode)
     audio_fm, power_sum, wfp, st_out = kernel(
-        yr, yi, mode, cw_word, d["cw_phase"], rel, al, tgt, mg, st_in)
+        yr, yi, mode, cw_word, demod_state["cw_phase"], rel, al, tgt, mg,
+        st_in)
+    new_demod, new_agc = _unpack_backend_state(st_out, demod_state, cw_word, F)
+    return audio_fm, power_sum, wfp, new_demod, new_agc
+
+
+def _pack_backend_state(demod_state, agc_state):
+    """Demod/AGC dicts -> the (7, M) carry-row layout the kernels seed."""
+    d = demod_state
+    Ml = d["cw_phase"].shape[0]
+    return jnp.stack([
+        d["am_dc"][0], d["am_dc"][1],
+        jnp.real(d["nfm_last"]), jnp.imag(d["nfm_last"]),
+        agc_state["env"], agc_state["lpf"], jnp.zeros((Ml,), jnp.float32)])
+
+
+def _unpack_backend_state(st_out, demod_state, cw_word, F):
+    """(7, M) kernel carry rows -> (demod_state', agc_state')."""
     new_demod = {
-        "cw_phase": d["cw_phase"] + cw_word * jnp.int32(F),
+        "cw_phase": demod_state["cw_phase"] + cw_word * jnp.int32(F),
         "am_dc": jnp.stack([st_out[0], st_out[1]]),
         "nfm_last": lax.complex(st_out[2], st_out[3]),
-        "sam_dc": d["sam_dc"], "sam_carrier": d["sam_carrier"],
+        "sam_dc": demod_state["sam_dc"],
+        "sam_carrier": demod_state["sam_carrier"],
     }
     new_agc = {"hist": (), "env": st_out[4], "lpf": st_out[5]}
-    return audio_fm, power_sum, wfp, new_demod, new_agc
+    return new_demod, new_agc

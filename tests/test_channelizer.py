@@ -561,3 +561,93 @@ class TestFusedAttackAgc:
                                    np.asarray(a_u)[:, W:], atol=2e-4)
         np.testing.assert_allclose(np.asarray(st_s["agc"]["lpf"]),
                                    np.asarray(st_u["agc"]["lpf"]), atol=2e-4)
+
+
+class TestSinglePassChannelizer:
+    """kernels/channelizer_one.py: the whole channelizer in one VMEM pass
+    == the two-kernel fused path == the dense path, streaming, including
+    nonzero-attack AGC."""
+
+    def _cfg(self, M, single, **kw):
+        return ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, waterfall_frame_avg=4,
+            fuse_pfb=True, fuse_demod=True, fuse_single_pass=single,
+            enabled_modes=(0, 1, 2, 3), **kw)
+
+    @pytest.mark.parametrize("agc_kw", [
+        {},                                  # instant attack (bench default)
+        {"agc_modes": (                      # nonzero attack table
+            __import__("radioframe.core.config", fromlist=["AgcConfig"])
+            .AgcConfig(release_s=0.5, attack_s=0.002),) * 6},
+    ])
+    def test_matches_two_kernel_fused(self, rng, agc_kw):
+        M = 64
+        two = ChannelizerChain(self._cfg(M, False, **agc_kw))
+        one = ChannelizerChain(self._cfg(M, True, **agc_kw))
+        assert one.one_kernel is not None
+        T = 4 * two.min_block
+        wide = _wideband(rng, 2 * T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        outs, auxs, states = [], [], []
+        for chain in (two, one):
+            st = chain.init_state()
+            step = jax.jit(chain.step)
+            audios, wfs = [], []
+            for b in np.split(wide, 2):
+                st, a, x = step(st, jnp.asarray(b), mode)
+                audios.append(np.asarray(a))
+                wfs.append(np.asarray(x["waterfall"]))
+            outs.append(np.concatenate(audios, axis=-1))
+            auxs.append(np.concatenate(wfs, axis=0))
+            states.append(st)
+        np.testing.assert_allclose(outs[1], outs[0], atol=2e-4)
+        np.testing.assert_allclose(auxs[1], auxs[0], atol=1e-2)
+        for leaf in ("cw_phase", "am_dc", "nfm_last"):
+            np.testing.assert_allclose(np.asarray(states[1]["demod"][leaf]),
+                                       np.asarray(states[0]["demod"][leaf]),
+                                       atol=2e-4)
+        np.testing.assert_allclose(np.asarray(states[1]["agc"]["env"]),
+                                   np.asarray(states[0]["agc"]["env"]),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(states[1]["pfb"]),
+                                   np.asarray(states[0]["pfb"]), atol=1e-6)
+
+    def test_matches_dense(self, rng):
+        M = 32
+        dense = ChannelizerChain(ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, waterfall_frame_avg=4,
+            enabled_modes=(0, 1, 2, 3)))
+        one = ChannelizerChain(self._cfg(M, True))
+        T = 4 * dense.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st_d, a_d, x_d = jax.jit(dense.step)(dense.init_state(),
+                                             jnp.asarray(wide), mode)
+        st_o, a_o, x_o = jax.jit(one.step)(one.init_state(),
+                                           jnp.asarray(wide), mode)
+        W = dense.pfb.K
+        np.testing.assert_allclose(np.asarray(a_o)[:, W:],
+                                   np.asarray(a_d)[:, W:], atol=2e-4)
+        np.testing.assert_allclose(np.asarray(x_o["waterfall"]),
+                                   np.asarray(x_d["waterfall"]), atol=1e-2)
+        np.testing.assert_allclose(np.asarray(x_o["channel_power"]),
+                                   np.asarray(x_d["channel_power"]), rtol=1e-4)
+
+    def test_step_planes_matches_step(self, rng):
+        M = 64
+        chain = ChannelizerChain(self._cfg(M, True))
+        T = 2 * chain.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        st1, a1, x1 = jax.jit(chain.step)(chain.init_state(),
+                                          jnp.asarray(wide), mode)
+        st2, a2, x2 = jax.jit(chain.step_planes)(
+            chain.init_state(), jnp.asarray(wide.real.copy()),
+            jnp.asarray(wide.imag.copy()), mode)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        np.testing.assert_array_equal(np.asarray(x1["waterfall"]),
+                                      np.asarray(x2["waterfall"]))
+        np.testing.assert_array_equal(np.asarray(st1["pfb"]),
+                                      np.asarray(st2["pfb"]))

@@ -338,3 +338,27 @@ class TestFastScans:
         assert not affine_const_ok([0.5])      # rescale would blow up
         assert maxdecay_const_ok([0.9999], 2048)
         assert not maxdecay_const_ok([0.99], 2048)  # 0.99^-2047 huge
+
+
+class TestOlsMxuDft:
+    """OverlapSaveBank(mxu_dft=True) — the TPU's two-matmul Cooley-Tukey
+    DFT path — matches the jnp.fft path exactly (r4)."""
+
+    def test_bank_paths_match(self, rng):
+        from radioframe.ops import filter_design as FD
+        from radioframe.ops.ols import OverlapSaveBank
+
+        taps = [FD.complex_bandpass_taps(513, 300.0, 2700.0, 48e3),
+                FD.complex_bandpass_taps(513, -5e3, 5e3, 48e3)]
+        a = OverlapSaveBank(taps, hop=512, mxu_dft=False)
+        b = OverlapSaveBank(taps, hop=512, mxu_dft=True)
+        C, T = 3, 2048
+        x = jnp.asarray((rng.standard_normal((C, T))
+                         + 1j * rng.standard_normal((C, T))).astype(np.complex64))
+        row = jnp.asarray([0, 1, 0], jnp.int32)
+        ya, _ = a.apply_selected(a.init_state(C), x, row)
+        yb, _ = b.apply_selected(b.init_state(C), x, row)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=2e-5)
+        fa, _ = a(a.init_state(C), x)
+        fb, _ = b(b.init_state(C), x)
+        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa), atol=2e-5)

@@ -51,6 +51,10 @@ TOL = {
     "demod_agc": 1e-3,
     "flagship_chain": 1e-3,
     "channelizer_chain": 1e-3,
+    # the bench config: single-pass kernel + manual-bf16x3 DFT (~2^-21 rel
+    # per product; measured 5e-4 = -66 dBFS through the full chain) — the
+    # tolerance gives it 4x headroom while still catching any real break
+    "channelizer_single_pass_b3": 2e-3,
     "channelizer_waterfall_db": 5e-2,
 }
 
@@ -244,7 +248,10 @@ def main():
         pfb_only = ChannelizerChain(ChannelizerConfig(**base, fuse_pfb=True))
         full = ChannelizerChain(ChannelizerConfig(
             **base, fuse_pfb=True, fuse_demod=True))
-        return dense, pfb_only, full
+        one_b3 = ChannelizerChain(ChannelizerConfig(
+            **base, fuse_pfb=True, fuse_demod=True, fuse_single_pass=True,
+            dft_precision="b3"))
+        return dense, pfb_only, full, one_b3
 
     def _chan_compare(chain_a, chain_b):
         M = chain_a.cfg.num_channels
@@ -273,14 +280,20 @@ def main():
         return float(e), float(s), float(w)
 
     def check_demod_agc():
-        dense, pfb_only, full = _chan_cfgs(64 if on_cpu else 4096)
+        dense, pfb_only, full, _ = _chan_cfgs(64 if on_cpu else 4096)
         # both sides share the fused PFB -> differences isolate demod_agc
         e, s, w = _chan_compare(pfb_only, full)
         return e, s, {"waterfall_db_err": w}
 
     def check_channelizer_chain():
-        dense, pfb_only, full = _chan_cfgs(64 if on_cpu else 4096)
+        dense, pfb_only, full, _ = _chan_cfgs(64 if on_cpu else 4096)
         e, s, w = _chan_compare(dense, full)
+        ok_w = w <= TOL["channelizer_waterfall_db"]
+        return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
+
+    def check_channelizer_single_pass_b3():
+        dense, _, _, one_b3 = _chan_cfgs(64 if on_cpu else 4096)
+        e, s, w = _chan_compare(dense, one_b3)
         ok_w = w <= TOL["channelizer_waterfall_db"]
         return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
 
@@ -329,6 +342,7 @@ def main():
         ("demod_agc", check_demod_agc),
         ("flagship_chain", check_flagship_chain),
         ("channelizer_chain", check_channelizer_chain),
+        ("channelizer_single_pass_b3", check_channelizer_single_pass_b3),
     ]
     dev = str(jax.devices()[0])
     print(f"verify_tpu on {dev} (backend {jax.default_backend()})", flush=True)
