@@ -129,6 +129,15 @@ class RxConfig:
     enabled_modes: tuple | None = None
     # FM squelch (gates NFM audio on discriminator HF noise)
     squelch_enabled: bool = False
+    # fused OLS+demod+AGC back-end kernel (kernels/ols_demod.py):
+    # EXPERIMENTAL and measured NOT faster than the XLA back end (see the
+    # kernel header + ROADMAP r4 log) — parity-exact, kept as an option.
+    # Requires enabled_modes without SAM, hang_s=0, and the interference/
+    # squelch/deemphasis stages off
+    fuse_backend: bool = False
+    # DFT matmul precision for the fused back end: "highest" | "b3"
+    # (manual bf16x3 — half the MXU passes, ~2^-21 rel; see pfb_dft)
+    backend_dft_precision: str = "highest"
     squelch_threshold: float = 0.5
     # NFM de-emphasis time constant (seconds); 0 disables. 531e-6 is the
     # amateur-NFM standard complement to TX pre-emphasis

@@ -201,6 +201,10 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     audio = jnp.where(mode == demod_op.NFM, audio, agc_audio)
 
     # --- aux: power accumulation + averaged waterfall power --------------
+    # wf_avg == 0 disables the whole aux pass (the flagship back end gets
+    # its power metric from the front-end kernel; kernels/ols_demod.py)
+    if wf_avg == 0:
+        return audio, None
     p = xr * xr + xi * xi
     carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
     wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)

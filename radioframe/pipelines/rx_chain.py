@@ -128,6 +128,39 @@ class RxChain:
             from radioframe.ops.biquad import BiquadCascade
 
             self.deemph = BiquadCascade(FD.deemphasis_sos(cfg.nfm_deemphasis_s, fa))
+        # fused OLS+demod+AGC back end (kernels/ols_demod.py): the whole
+        # audio-rate stage in one VMEM pass — the XLA form pays ~10
+        # near-bandwidth HBM passes over the frame arrays (r4 stage probe:
+        # 0.47 ms of the 0.84 ms block)
+        self.backend_kernel = None
+        if cfg.fuse_backend:
+            import jax as _jax
+
+            from radioframe.kernels.ols_demod import FusedOlsDemod
+
+            assert not (cfg.nb_enabled or cfg.nr_enabled or cfg.notch_enabled
+                        or cfg.vad_enabled or cfg.squelch_enabled), (
+                "fuse_backend: interference/squelch stages re-split the "
+                "fusion — use the dense path when they are enabled")
+            assert cfg.nfm_deemphasis_s == 0.0, (
+                "fuse_backend: NFM de-emphasis runs outside the kernel; "
+                "disable it or use the dense path")
+            en = cfg.enabled_modes
+            assert en is not None and demod_op.SAM not in en, (
+                "fuse_backend needs enabled_modes without SAM (whole-block "
+                "carrier statistics need the dense bank)")
+            assert self.agc_bank.hist_len == 0, (
+                "fuse_backend AGC has no hang support (see CAPABILITIES "
+                "2.1 #8); set hang_s=0 or use the dense path")
+            self.backend_kernel = FusedOlsDemod(
+                self.mode_bank.nfft, self.mode_bank.hop, cfg.channels,
+                fa, cfg.nfm_deviation_hz, enabled=en,
+                attack_alphas=tuple(self.agc_bank.alpha.tolist()),
+                interpret=_jax.default_backend() == "cpu",
+                dft_precision=cfg.backend_dft_precision)
+            assert self.backend_kernel.release_ok(self.agc_bank.release), (
+                "fuse_backend: AGC release too fast for the in-kernel "
+                "rescale over hop-length tiles; lengthen release_s")
         # minimum input block: every stage's constraint pulled back to fs_in
         r = 1
         lcm = 1
@@ -245,6 +278,44 @@ class RxChain:
         bstate, audio, aux = self.step_back(bstate, x, mode, pw)
         return {**fstate, **bstate}, audio, aux
 
+    def _step_back_fused(self, state, x, mode, power_in):
+        """One-kernel audio back end (kernels/ols_demod.py): OLS window ->
+        MXU DFT -> per-channel response -> inverse -> demod bank -> AGC,
+        channel planes VMEM-resident throughout. Parity vs the dense path:
+        tests/test_rx_chain.py::TestFusedBackend."""
+        import jax as _jax
+
+        from radioframe.pipelines.channelizer import (_pack_backend_state,
+                                                      _unpack_backend_state)
+
+        cfg = self.cfg
+        C, Ta = x.shape
+        d = state["demod"]
+        h_sel = jnp.take(jnp.asarray(self.mode_bank._H),
+                         demod_op.filter_index(mode), axis=0)  # (C, nfft)
+        cw_word = jnp.full((C,), self.cw_tone_word, jnp.int32)
+        rel, al, tgt, mg = self.agc_bank.per_channel(mode)
+        st_in = _pack_backend_state(d, state["agc"])
+        audio, st_out, bpf_tail = self.backend_kernel(
+            state["bpf"], x, h_sel, mode, cw_word, d["cw_phase"],
+            rel, al, tgt, mg, st_in)
+        new_demod, new_agc = _unpack_backend_state(st_out, d, cw_word, Ta)
+        gain_last = jnp.minimum(mg, tgt / jnp.maximum(st_out[5], 1e-9))
+        aux = {"agc_gain_last": gain_last,
+               "power_in": jnp.broadcast_to(power_in, mode.shape)
+               .astype(jnp.float32)}
+        if cfg.emit_spectrum:
+            lines, spec_prev = self.spectrum(state["spec"], x)
+            aux["spectrum"] = lines
+        else:
+            spec_prev = state["spec"]
+        new_state = {
+            "bpf": bpf_tail, "demod": new_demod, "agc": new_agc,
+            "spec": spec_prev, "nb": (), "nr": (), "notch": (),
+            "squelch": (), "vad": (), "deemph": (),
+        }
+        return new_state, audio, aux
+
     def step(self, state, iq, freq_words, mode):
         """(state, iq (C,T) c64, freq_words (C,) i32, mode (C,) i32)
         -> (state, audio (C, T/decim) f32, aux dict)."""
@@ -257,6 +328,8 @@ class RxChain:
         """Audio-rate stage: (bstate, x (C, T/decim) c64, mode (C,) i32,
         power_in (C,) f32) -> (bstate, audio, aux)."""
         cfg = self.cfg
+        if self.backend_kernel is not None:
+            return self._step_back_fused(state, x, mode, power_in)
         nb_state = state.get("nb", ())
         if self.nb:
             x, nb_state = self.nb(state["nb"], x)  # impulse excision pre-filter

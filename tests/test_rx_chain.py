@@ -7,8 +7,9 @@ scored by audio SNR vs truth, and vs an identically-composed golden chain
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from radioframe.core.config import RxConfig
+from radioframe.core.config import CicStage, FirStage, RxConfig
 from radioframe.diag.metrics import audio_snr_db
 from radioframe.golden import model as G
 from radioframe.io import fixtures as FX
@@ -255,3 +256,93 @@ class TestEnabledModesRx:
         st2, audio_sh, _ = jax.jit(sh.step)(ch.init_state(C), iq, words, mode)
         np.testing.assert_allclose(np.asarray(audio_sh)[:, 512:],
                                    outs[1][:, 512:], atol=2e-4)
+
+
+class TestFusedBackend:
+    """kernels/ols_demod.py — the one-kernel audio back end — matches the
+    dense OLS + demod bank + AGC path, streaming (r4).
+
+    NFM channels get a proper FM carrier (plus light noise) so the
+    discriminator vector stays well-conditioned: the angle of a near-zero
+    vector is noise in ANY implementation, and random-noise input drives
+    |x[n] conj(x[n-1])| through zero (measured: masked on |d| > 1e-2 of
+    median the paths agree to 1.3e-4; the unmasked 'error' is conditioning,
+    not math)."""
+
+    def _cfgs(self, C, attack):
+        from radioframe.core.config import AgcConfig
+
+        agc_modes = ((AgcConfig(release_s=0.5, attack_s=0.002 if attack else 0.0),)
+                     * 6)
+        base = dict(fs_in=1_536_000.0, channels=C,
+                    stages=(CicStage(R=8, N=4),
+                            FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+                    ols_hop=512, enabled_modes=(0, 1, 2, 3),
+                    agc_modes=agc_modes)
+        return (RxConfig(**base), RxConfig(**base, fuse_backend=True))
+
+    def _iq_fixture(self, rng, C, T, fs):
+        # structured input: per-channel tones (FM-modulated for NFM rows)
+        # + noise floor, so every demod sees a well-conditioned signal
+        t = np.arange(T) / fs
+        iq = np.zeros((C, T), np.complex64)
+        for c in range(C):
+            if c % 4 == 3:  # NFM row: 1 kHz audio tone at 2 kHz deviation
+                phase = 2 * np.pi * np.cumsum(
+                    2000.0 * np.sin(2 * np.pi * 1000.0 * t)) / fs
+                iq[c] = np.exp(1j * phase)
+            else:
+                iq[c] = np.exp(2j * np.pi * (1000.0 + 37.0 * c) * t)
+        iq += 0.05 * (rng.standard_normal((C, T))
+                      + 1j * rng.standard_normal((C, T)))
+        return jnp.asarray(iq.astype(np.complex64))
+
+    @pytest.mark.parametrize("attack", [False, True])
+    def test_matches_dense_streaming(self, rng, attack):
+        C = 8
+        cfg_d, cfg_f = self._cfgs(C, attack)
+        dense, fused = RxChain(cfg_d), RxChain(cfg_f)
+        assert fused.backend_kernel is not None
+        if attack:
+            assert fused.backend_kernel.attack_alphas
+        T = dense.min_block
+        words = jnp.asarray(nco.freq_word(np.zeros(C), cfg_d.fs_in))
+        mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
+        iq = self._iq_fixture(rng, C, 3 * T, cfg_d.fs_in)
+        st_d, st_f = dense.init_state(C), fused.init_state(C)
+        outs = [[], []]
+        for i, b in enumerate(np.split(np.asarray(iq), 3, axis=-1)):
+            b = jnp.asarray(b)
+            st_d, a_d, x_d = jax.jit(dense.step)(st_d, b, words, mode)
+            st_f, a_f, x_f = jax.jit(fused.step)(st_f, b, words, mode)
+            if i == 0:
+                continue  # filter/AGC warm-up: near-zero signals x max_gain
+                # amplify fp noise (same skip as the other chain tests)
+            outs[0].append(np.asarray(a_d))
+            outs[1].append(np.asarray(a_f))
+        ref = np.concatenate(outs[0], axis=-1)
+        got = np.concatenate(outs[1], axis=-1)
+        period = cfg_d.fs_audio / cfg_d.nfm_deviation_hz
+        d = got - ref
+        d = d - np.round(d / period) * period  # FM branch flips wrap
+        np.testing.assert_allclose(d, 0.0, atol=3e-4)
+        # streaming state parity across the formulations
+        np.testing.assert_allclose(np.asarray(st_f["agc"]["env"]),
+                                   np.asarray(st_d["agc"]["env"]), atol=3e-4)
+        np.testing.assert_array_equal(np.asarray(st_f["demod"]["cw_phase"]),
+                                      np.asarray(st_d["demod"]["cw_phase"]))
+        np.testing.assert_allclose(np.asarray(st_f["bpf"]),
+                                   np.asarray(st_d["bpf"]), atol=1e-5)
+
+    def test_guards(self):
+        from radioframe.core.config import RxConfig as RC
+
+        base = dict(fs_in=1_536_000.0, channels=4,
+                    stages=(CicStage(R=8, N=4),
+                            FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+                    ols_hop=512)
+        with pytest.raises(AssertionError, match="enabled_modes"):
+            RxChain(RC(**base, fuse_backend=True))  # SAM implicitly present
+        with pytest.raises(AssertionError, match="squelch|interference"):
+            RxChain(RC(**base, fuse_backend=True, enabled_modes=(0, 1),
+                       squelch_enabled=True))
