@@ -34,7 +34,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radioframe.kernels.demod_agc import demod_agc_tile
+from radioframe.kernels.demod_agc import (agc_prefix_consts,
+                                          demod_agc_tile,
+                                          release_decays_ok)
 from radioframe.kernels.pfb_dft import _dft_consts, _mm_p
 from radioframe.ops import demod as demod_op
 
@@ -144,8 +146,7 @@ class FusedChannelizerOne:
 
     def release_ok(self, release_values) -> bool:
         """Same rescale-boundedness guard as FusedDemodAgc.release_ok."""
-        rmin = float(np.min(np.asarray(release_values, np.float64)))
-        return 0.0 < rmin < 1.0 and rmin ** -(self.max_tf - 1) <= 64.0
+        return release_decays_ok(release_values, self.max_tf)
 
     def init_tail(self):
         return jnp.zeros((1, (self.K - 1) * self.M), dtype=jnp.complex64)
@@ -195,18 +196,8 @@ class FusedChannelizerOne:
         xi = wi.reshape(F, M1, M2)
         t2 = tail[0].reshape(K - 1, M1, M2)
         tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
-        gj = np.subtract.outer(np.arange(TF), np.arange(TF))
-        from radioframe.kernels.demod_agc import _DC_POLE
-
-        ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
-        n_a = max(1, len(self.attack_alphas))
-        atri = np.zeros((n_a, TF, TF), np.float32)
-        g1 = np.arange(1, TF + 1, dtype=np.float64)
-        dcols = [np.float64(_DC_POLE) ** g1]
-        for k, a in enumerate(self.attack_alphas):
-            atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
-            dcols.append(np.float64(a) ** g1)
-        dcol = np.stack(dcols, axis=1).astype(np.float32)
+        ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
+        n_a = atri.shape[0]
 
         en = self.en
         kern = functools.partial(

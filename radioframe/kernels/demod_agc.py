@@ -211,6 +211,35 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     return audio, wf
 
 
+def agc_prefix_consts(TF: int, attack_alphas: tuple):
+    """Host-side triangular prefix matrices + decay columns for one tile.
+
+    Shared by FusedDemodAgc, FusedChannelizerOne, and FusedOlsDemod (the
+    three kernels embedding demod_agc_tile): ltri (TF, TF) is the DC-block
+    a^{g-j} prefix, atri (n_a, TF, TF) one prefix per distinct attack
+    alpha, dcol (TF, 1+n_a) the a^{g+1} carry columns."""
+    gj = np.subtract.outer(np.arange(TF), np.arange(TF))
+    ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
+    n_a = max(1, len(attack_alphas))
+    atri = np.zeros((n_a, TF, TF), np.float32)
+    g1 = np.arange(1, TF + 1, dtype=np.float64)
+    dcols = [np.float64(_DC_POLE) ** g1]
+    for k, a in enumerate(attack_alphas):
+        atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
+        dcols.append(np.float64(a) ** g1)
+    dcol = np.stack(dcols, axis=1).astype(np.float32)
+    return ltri, atri, dcol
+
+
+def release_decays_ok(release_values, max_tf: int) -> bool:
+    """Rescale-boundedness guard for the in-kernel release max-decay
+    (mirrors ops/scans.maxdecay_const_ok): rel**(-f1) runs up to
+    f1 = max_tf - 1; a fast release would lose precision across the tile.
+    Callers must fall back to the dense bank when this returns False."""
+    rmin = float(np.min(np.asarray(release_values, np.float64)))
+    return 0.0 < rmin < 1.0 and rmin ** -(max_tf - 1) <= 64.0
+
+
 class FusedDemodAgc:
     """Channelizer back end: (state, yr/yi (F, M) frame-major planes,
     mode (M,), per-channel AGC constants) -> (audio (F, M), aux, state').
@@ -250,13 +279,8 @@ class FusedDemodAgc:
         self.interpret = interpret
 
     def release_ok(self, release_values) -> bool:
-        """Static boundedness check for the in-kernel release rescale
-        (mirrors ops/scans.maxdecay_const_ok, ADVICE r3): rel**(-f1) runs
-        up to f1 = max_tf - 1, so a fast release (decay well below ~0.94 at
-        max_tf=128) would lose precision across the tile. The chain must
-        fall back to the dense bank when this returns False."""
-        rmin = float(np.min(np.asarray(release_values, np.float64)))
-        return 0.0 < rmin < 1.0 and rmin ** -(self.max_tf - 1) <= 64.0
+        """ADVICE r3 guard; see release_decays_ok."""
+        return release_decays_ok(release_values, self.max_tf)
 
     def _pick_tf(self, F: int) -> int:
         cap = self.max_tf
@@ -275,19 +299,8 @@ class FusedDemodAgc:
         TF = self._pick_tf(F)
         grid = F // TF
         assert grid <= self.MAX_GRID, "chunk longer blocks upstream"
-        gj = np.subtract.outer(np.arange(TF), np.arange(TF))
-        ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
-        # host-precomputed per-frame decay columns a^{g+1} (see kernel)
-        g1 = np.arange(1, TF + 1, dtype=np.float64)
-        dcol = np.stack([np.float64(_DC_POLE) ** g1]
-                        + [np.float64(a) ** g1 for a in self.attack_alphas],
-                        axis=1).astype(np.float32)
-        # attack prefix matrices: atri[k][g, j] = (1 is NOT folded here —
-        # the kernel multiplies b = (1-a)*env_r) a_k^{g-j} for j <= g
-        n_a = max(1, len(self.attack_alphas))
-        atri = np.zeros((n_a, TF, TF), np.float32)
-        for k, a in enumerate(self.attack_alphas):
-            atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
+        ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
+        n_a = atri.shape[0]
         en = self.en
         kern = functools.partial(
             _kernel, TF, M, grid, self.fs, self.dev_scale, self.wf_avg,

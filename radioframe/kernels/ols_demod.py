@@ -45,7 +45,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from radioframe.kernels.demod_agc import _DC_POLE, demod_agc_tile
+from radioframe.kernels.demod_agc import (agc_prefix_consts,
+                                          demod_agc_tile,
+                                          release_decays_ok)
+from radioframe.kernels.pfb_dft import _bf16_split
 from radioframe.ops import demod as demod_op
 
 
@@ -56,10 +59,8 @@ def _lmm_p(prec):
     def lmm(w, b, rax):
         dims = (((1,), (rax,)), ((), ()))
         if prec == "b3":
-            w_hi = w.astype(jnp.bfloat16)
-            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            w_hi, w_lo = _bf16_split(w)
+            b_hi, b_lo = _bf16_split(b)
             d = lambda x, y: lax.dot_general(
                 x, y, dims, preferred_element_type=jnp.float32)
             return d(w_hi, b_hi) + d(w_hi, b_lo) + d(w_lo, b_hi)
@@ -81,23 +82,6 @@ def _ct_consts(N: int):
     inv = (f32(W1.real), f32(-W1.imag), f32(W2.real / N), f32(-W2.imag / N),
            f32(TW.real), f32(-TW.imag))
     return N1, N2, fwd, inv
-
-
-def _ct_dft(lmm, N1, N2, C, consts, wr3, wi3):
-    """(N1, N2, C) planes -> (nfft, C) planes, natural order both ends.
-
-    consts: the six factor-constant planes (forward or inverse set); the
-    input view (N1, N2, C) has n = N2*n1 + n2 (free leading-dim reshape)."""
-    w1r, w1i, w2r, w2i, twr, twi = consts
-    # stage 1: contract n1 -> (k1, n2, C)
-    ar = lmm(w1r, wr3, 0) - lmm(w1i, wi3, 0)
-    ai = lmm(w1r, wi3, 0) + lmm(w1i, wr3, 0)
-    br = ar * twr[:, :, None] - ai * twi[:, :, None]
-    bi = ar * twi[:, :, None] + ai * twr[:, :, None]
-    # stage 2: contract n2 -> (k2, k1, C); flat index k2*N1 + k1 == k
-    xr = lmm(w2r, br, 1) - lmm(w2i, bi, 1)
-    xi = lmm(w2r, bi, 1) + lmm(w2i, br, 1)
-    return xr.reshape(N1 * N2, C), xi.reshape(N1 * N2, C)
 
 
 def _ct_dft_b(lmm, N1, N2, consts, wr4, wi4):
@@ -218,8 +202,7 @@ class FusedOlsDemod:
         self.max_tf = self.hop
 
     def release_ok(self, release_values) -> bool:
-        rmin = float(np.min(np.asarray(release_values, np.float64)))
-        return 0.0 < rmin < 1.0 and rmin ** -(self.hop - 1) <= 64.0
+        return release_decays_ok(release_values, self.hop)
 
     def __call__(self, tail, x, h_sel, mode, cw_word, cw_acc, rel, al, tgt,
                  mg, st_in):
@@ -246,16 +229,8 @@ class FusedOlsDemod:
         hi2 = jnp.imag(h_sel).T.astype(jnp.float32)
 
         TF = hop
-        gj = np.subtract.outer(np.arange(TF), np.arange(TF))
-        ltri = np.tril(_DC_POLE ** gj).astype(np.float32)
-        n_a = max(1, len(self.attack_alphas))
-        atri = np.zeros((n_a, TF, TF), np.float32)
-        g1 = np.arange(1, TF + 1, dtype=np.float64)
-        dcols = [np.float64(_DC_POLE) ** g1]
-        for k, a in enumerate(self.attack_alphas):
-            atri[k] = np.tril(np.float64(a) ** gj).astype(np.float32)
-            dcols.append(np.float64(a) ** g1)
-        dcol = np.stack(dcols, axis=1).astype(np.float32)
+        ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
+        n_a = atri.shape[0]
 
         en = self.en
         kern = functools.partial(

@@ -56,6 +56,13 @@ def _dft_consts(M: int):
             f32(TW.real), f32(TW.imag))
 
 
+def _bf16_split(a):
+    """Error-free split a = hi + lo with both parts bf16 (the b3 trick)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _mm_p(prec):
     """(TF, n, m) contract axis 1 (n) with b (n, k) -> (TF, m, k).
 
@@ -68,10 +75,8 @@ def _mm_p(prec):
     dims = (((1,), (0,)), ((), ()))
     if prec == "b3":
         def mm(a, b):
-            a_hi = a.astype(jnp.bfloat16)
-            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            a_hi, a_lo = _bf16_split(a)
+            b_hi, b_lo = _bf16_split(b)
             d = lambda x, y: lax.dot_general(
                 x, y, dims, preferred_element_type=jnp.float32)
             return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)

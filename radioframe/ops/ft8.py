@@ -68,8 +68,10 @@ if _tables is not None:
     # the npz supplies LDPC H + CRC only (radioframe/data schema); the 77-bit
     # packing offsets stay provisional until independent KAT vectors land too
     # (ft8_kats.npz — tests/test_digital_kat.py then verifies the packing)
+    import os as _os
+
     PROVISIONAL_ITEMS = tuple(
-        () if _data.load_npz("ft8_kats") is not None
+        () if _os.path.exists(_data.path("ft8_kats.npz"))
         else ("77-bit packing offsets",))
     INTEROP_PROVISIONAL = bool(PROVISIONAL_ITEMS)
 

@@ -51,9 +51,9 @@ class ChannelizerConfig:
     # the polyphase accumulate + Cooley-Tukey MXU DFT. pow2 M only;
     # interpret-mode on CPU (parity-tested), compiled on TPU
     fuse_pfb: bool = False
-    # DFT matmul precision: "highest" (6-pass f32) or "high" (3-pass bf16x3,
-    # ~f32 mantissa at ~2x MXU rate); on-chip parity asserted by
-    # tools/verify_tpu.py for the shipped setting
+    # DFT matmul precision: "highest" (6-pass f32) or "b3" (manual 3-pass
+    # bf16x3 split, ~2^-21 rel at twice the MXU rate); on-chip parity
+    # asserted by tools/verify_tpu.py for the shipped setting
     dft_precision: str = "highest"
     # single-pass channelizer kernel (kernels/channelizer_one.py): PFB +
     # DFT + demod + AGC + waterfall in ONE VMEM pass — the channel planes
@@ -113,6 +113,10 @@ class ChannelizerChain:
             self.min_block = int(np.lcm(self.min_block,
                                         cfg.num_channels * cfg.waterfall_frame_avg))
         self.demod_kernel = None
+        self.one_kernel = None
+        assert not (cfg.fuse_single_pass and not cfg.fuse_demod), (
+            "fuse_single_pass requires fuse_demod=True (it fuses the demod "
+            "back end INTO the PFB pass)")
         if cfg.fuse_demod:
             import jax as _jax
 

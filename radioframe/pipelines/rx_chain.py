@@ -283,8 +283,6 @@ class RxChain:
         MXU DFT -> per-channel response -> inverse -> demod bank -> AGC,
         channel planes VMEM-resident throughout. Parity vs the dense path:
         tests/test_rx_chain.py::TestFusedBackend."""
-        import jax as _jax
-
         from radioframe.pipelines.channelizer import (_pack_backend_state,
                                                       _unpack_backend_state)
 

@@ -58,6 +58,15 @@ class ShardedChannelizer:
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
                 attack_alphas=tuple(chain.agc_bank.alpha.tolist()),
                 interpret=_jax.default_backend() == "cpu")
+            if not self.demod_kernel.release_ok(chain.agc_bank.release):
+                # the per-shard kernel has M/D channels, so its VMEM
+                # frame-tile cap (and hence the release-rescale exponent)
+                # is LARGER than the unsharded kernel's — the chain-level
+                # guard does not cover it (r4 code review)
+                raise ValueError(
+                    "sharded fuse_demod: AGC release too fast for the "
+                    f"per-shard kernel's {self.demod_kernel.max_tf}-frame "
+                    "tiles; lengthen release_s or disable fuse_demod")
 
     def _local_step(self, state, wideband, mode):
         chain, cfg, ax = self.chain, self.chain.cfg, self.axis

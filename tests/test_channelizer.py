@@ -427,6 +427,33 @@ class TestFusedConfigValidation:
                 **self._base, waterfall_frame_avg=4,
                 agc=AgcConfig(release_s=1e-4)))
 
+    def test_single_pass_requires_fuse_demod(self):
+        cfg = dict(self._base)
+        cfg.pop("fuse_demod")
+        with pytest.raises(AssertionError, match="fuse_demod"):
+            ChannelizerChain(ChannelizerConfig(
+                **cfg, fuse_demod=False, fuse_single_pass=True,
+                waterfall_frame_avg=4))
+
+    def test_sharded_fast_release_rejected(self):
+        """The per-shard kernel's larger frame tile needs its own release
+        guard (r4 code review): a decay that passes the unsharded bound can
+        violate the sharded one."""
+        from radioframe.core.config import AgcConfig
+
+        M, D = 4096, 8
+        # decay ~0.956 at fs_channel=15 kHz: 0.956**-63 ~ 17 (unsharded
+        # max_tf=64 passes) but 0.956**-127 ~ 297 (per-shard max_tf=128
+        # fails)
+        chain = ChannelizerChain(ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, waterfall_frame_avg=4, fuse_pfb=True,
+            fuse_demod=True, enabled_modes=(0, 1, 2, 3),
+            agc=AgcConfig(release_s=1.48e-3)))
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        with pytest.raises(ValueError, match="per-shard"):
+            ShardedChannelizer(chain, mesh)
+
     def test_block_length_assert_names_min_block(self, rng):
         chain = ChannelizerChain(ChannelizerConfig(
             **self._base, waterfall_frame_avg=4))

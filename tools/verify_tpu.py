@@ -90,6 +90,9 @@ def main():
 
     def record(name, err, scale, tol, dt, extra=None):
         ok = bool(err <= tol)
+        if extra:  # auxiliary gates (e.g. waterfall_pass) fail the row too
+            ok = ok and all(bool(v) for k, v in extra.items()
+                            if k.endswith("_pass"))
         row = {"check": name, "max_abs_err": float(err), "ref_scale": float(scale),
                "tol": float(tol), "pass": ok, "seconds": round(dt, 2)}
         if extra:
@@ -283,7 +286,8 @@ def main():
         dense, pfb_only, full, _ = _chan_cfgs(64 if on_cpu else 4096)
         # both sides share the fused PFB -> differences isolate demod_agc
         e, s, w = _chan_compare(pfb_only, full)
-        return e, s, {"waterfall_db_err": w}
+        return e, s, {"waterfall_db_err": w,
+                      "waterfall_pass": bool(w <= TOL["channelizer_waterfall_db"])}
 
     def check_channelizer_chain():
         dense, pfb_only, full, _ = _chan_cfgs(64 if on_cpu else 4096)
