@@ -116,8 +116,12 @@ def run_variant(variant, iters=64):
         )(xr, xi, tails, word2, acc2, w2in)
 
     def run(xr, xi, tails, word2, acc2, w2in, n):
+        # thread the accumulator through the INPUT: an un-threaded body is
+        # loop-invariant and gets hoisted (LICM), so the loop measures the
+        # dispatch floor plus ONE call — this bug made the r1 "44% of HBM
+        # peak" figure untrustworthy (ROADMAP r4 bound argument)
         def body(_, s):
-            out = call(xr, xi, tails, word2, acc2, w2in)
+            out = call(xr * (1.0 + s * 1e-20), xi, tails, word2, acc2, w2in)
             return s + jnp.sum(out[:, :, -1, :1])
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
