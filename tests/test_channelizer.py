@@ -602,14 +602,14 @@ class TestSinglePassChannelizer:
             fuse_pfb=True, fuse_demod=True, fuse_single_pass=single,
             enabled_modes=(0, 1, 2, 3), **kw)
 
-    @pytest.mark.parametrize("agc_kw", [
-        {},                                  # instant attack (bench default)
-        {"agc_modes": (                      # nonzero attack table
+    @pytest.mark.parametrize("M,agc_kw", [
+        (64, {}),                            # instant attack (bench default)
+        (64, {"agc_modes": (                 # nonzero attack table
             __import__("radioframe.core.config", fromlist=["AgcConfig"])
-            .AgcConfig(release_s=0.5, attack_s=0.002),) * 6},
+            .AgcConfig(release_s=0.5, attack_s=0.002),) * 6}),
+        (256, {}),                           # M2=128, M1=2 CT factorization
     ])
-    def test_matches_two_kernel_fused(self, rng, agc_kw):
-        M = 64
+    def test_matches_two_kernel_fused(self, rng, M, agc_kw):
         two = ChannelizerChain(self._cfg(M, False, **agc_kw))
         one = ChannelizerChain(self._cfg(M, True, **agc_kw))
         assert one.one_kernel is not None
