@@ -83,10 +83,10 @@ def bench_channelizer():
     """Config-5 dataflow: 61.44 Msps wideband -> 4096-channel PFB ->
     per-channel demod/AGC + waterfall. Returns wideband samples/s/chip.
 
-    Round-3 formulation (ROADMAP round-3 log): planes shifted-add PFB with
-    contiguous-axis FFT, fused masked-sum demod select, and the waterfall
-    derived from the PFB output (prototype-windowed periodogram, 16-frame
-    power averaging) — the panorama rides the FFT work already paid.
+    Round-4 formulation (ROADMAP round-4 log): the SINGLE-PASS kernel —
+    polyphase + CT MXU DFT (manual bf16x3) + demod bank + AGC + waterfall
+    power in one VMEM pass (kernels/channelizer_one.py); the channel
+    planes never touch HBM and the panorama rides the pass already paid.
     iters=128: the ~25 ms axon round trip is per DISPATCH (not per
     iteration; tools/probe_floor.py), so 128 in-loop blocks cut the floor
     from 0.78 to 0.2 ms/block."""
@@ -152,9 +152,12 @@ def bench_channelizer_sharded_d1():
     runs ShardedChannelizer (halo ppermute + plane all_to_all + per-shard
     fused back end; collectives compile away at D=1), so this row states the
     sharded formulation's single-chip cost next to the unsharded headline
-    (VERDICT r3 ask #2 bench note). The sharded path keeps channel-major
-    order (the native-order trick needs the whole M on one device), so the
-    delta vs `channelizer_4096` is untangle-transpose + shard plumbing."""
+    (VERDICT r3 ask #2 bench note). The sharded path runs the TWO-kernel
+    fused form (pfb_dft + per-shard demod_agc, channel-major) because the
+    all_to_all must sit between the stages, so the delta vs the unsharded
+    `channelizer_4096` row (single-pass kernel) is the interstage HBM round
+    trip + shard plumbing — see ROADMAP r4 design note for the cross-shard
+    single-pass idea."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 

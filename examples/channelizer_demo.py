@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--out", default="waterfall.png")
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--dense", action="store_true",
+                    help="use the dense XLA formulation instead of the "
+                    "single-pass fused kernel")
     args = ap.parse_args()
     if not args.tpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
@@ -36,8 +39,18 @@ def main():
 
     M = args.channels
     fs_ch = 48_000.0
-    cfg = ChannelizerConfig(fs_in=fs_ch * M, num_channels=M, emit_spectrum=True,
-                            spectrum_nfft=1024)
+    # the flagship config-5 shape: fully kernelized (single-pass Pallas
+    # kernel on TPU, interpret-mode on CPU) with the waterfall derived from
+    # the PFB pass; --dense switches to the reference XLA formulation
+    if args.dense:
+        cfg = ChannelizerConfig(fs_in=fs_ch * M, num_channels=M,
+                                emit_spectrum=True, spectrum_nfft=1024)
+    else:
+        cfg = ChannelizerConfig(fs_in=fs_ch * M, num_channels=M,
+                                emit_spectrum=True, waterfall_from_pfb=True,
+                                waterfall_frame_avg=4, fuse_pfb=True,
+                                fuse_demod=True, fuse_single_pass=True,
+                                enabled_modes=(0, 1, 2, 3))
     chain = ChannelizerChain(cfg)
     F = 16384  # channel-rate samples
     T = F * M
