@@ -49,6 +49,7 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
             # inputs: demod part (native channel order, (1, M1, M2) each)
             mode_ref, cw_word_ref, cw_acc_ref, rel_ref, al_ref, tgt_ref,
             mg_ref, ltri_ref, atri_ref, dcol_ref, st_in_ref,
+            pa_ref, pinv_ref, pc_ref, ps_ref,  # per-block precomputed tables
             # outputs
             audio_ref, wf_ref, st_out_ref,
             # scratch
@@ -90,7 +91,8 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
         i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas,
         dev_scale, yr, yi, mode_ref[...], cw_word_ref[...], cw_acc_ref[...],
         rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
-        ltri_ref, atri_ref, dcol_ref, carry_ref)
+        ltri_ref, atri_ref, dcol_ref, carry_ref,
+        pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]))
     audio_ref[...] = audio
     wf_ref[...] = wf[None]
 
@@ -198,6 +200,18 @@ class FusedChannelizerOne:
         tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
         ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
         n_a = atri.shape[0]
+        # per-block tile-constant tables (see demod_agc_tile ``pre``): the
+        # single-pass kernel is compute-bound, so the rel**f1 pow array and
+        # the CW fine-tone trig arrays are paid ONCE here instead of per
+        # grid step (grid recomputed them ~64x per block)
+        f1 = jnp.arange(TF, dtype=jnp.float32).reshape(TF, 1, 1)
+        pa = (jnp.asarray(rel, jnp.float32).reshape(1, M1, M2) ** f1)
+        pinv = 1.0 / pa
+        fidx = jnp.arange(TF, dtype=jnp.int32).reshape(TF, 1, 1)
+        fang = (jnp.asarray(cw_word, jnp.int32).reshape(1, M1, M2)
+                * fidx).astype(jnp.float32) * jnp.float32(2 * np.pi / 2 ** 32)
+        pc = jnp.cos(fang)
+        ps = jnp.sin(fang)
 
         en = self.en
         kern = functools.partial(
@@ -229,6 +243,8 @@ class FusedChannelizerOne:
                 whole3((n_a, TF, TF)),
                 whole3((TF, 1 + len(self.attack_alphas))),
                 whole3((7, M1, M2)),
+                whole3((TF, M1, M2)), whole3((TF, M1, M2)),
+                whole3((TF, M1, M2)), whole3((TF, M1, M2)),
             ],
             out_specs=[
                 pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
@@ -258,7 +274,7 @@ class FusedChannelizerOne:
           cmap(cw_acc, jnp.int32), cmap(rel, jnp.float32),
           cmap(al, jnp.float32), cmap(tgt, jnp.float32),
           cmap(mg, jnp.float32), c(ltri), c(atri), c(dcol),
-          st_in.astype(jnp.float32).reshape(7, M1, M2))
+          st_in.astype(jnp.float32).reshape(7, M1, M2), pa, pinv, pc, ps)
 
         audio = audio.reshape(F, M)
         wf = wf.reshape(F // self.wf_avg, M)
