@@ -47,10 +47,16 @@ from radioframe.ops import demod as demod_op
 _SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 _DC_POLE = 0.995  # dc_block default pole (ops/demod.py)
 
-# odd minimax polynomial for atan on [0, 1], |err| < 1e-7 (Hart-style);
-# Pallas TPU has no atan2 primitive, so the kernel builds it from this
-_ATAN_C = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
-           0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
+# odd polynomial for atan on [0, 1]; Pallas TPU has no atan2 primitive,
+# so the kernel builds it from this. Degree 9, |err| < 1.3e-5 rad — the
+# NFM audio error that induces (err x dev_scale ~ 1.2e-5) sits two orders
+# below the 2e-4 parity tolerance, and halving the Horner chain shaves
+# VPU ops in the compute-bound single-pass channelizer (r4). The old
+# degree-15 set (|err| < 1e-7) is kept below for reference.
+_ATAN_C = (0.9998787433, -0.3304055736, 0.1804126844, -0.0854083083,
+           0.0209318117)
+_ATAN_C_HIGH = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+                0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
 
 
 def _atan2(y, x):
@@ -121,6 +127,9 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     cdim = xr.shape[1:]  # trailing channel dims
     ones = (1,) * len(cdim)
     audio = jnp.zeros(xr.shape, jnp.float32)
+    # |x|^2 is shared by the AM envelope and the waterfall/power pass —
+    # compute it once (r4: it was built twice per tile)
+    p = xr * xr + xi * xi
 
     # --- SSB / LSB: 2*Re -------------------------------------------------
     if en_ssb or en_lsb:
@@ -150,7 +159,7 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
 
     # --- AM: envelope + DC block (triangular-matmul prefix) --------------
     if en_am:
-        env = jnp.sqrt(xr * xr + xi * xi)
+        env = jnp.sqrt(p)
         xprev = jnp.concatenate([carry_ref[0:1], env[: TF - 1]], axis=0)
         b = env - xprev
         # ltri[g, j] = a^{g-j} (j <= g) already encodes the decay:
@@ -186,6 +195,8 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     A = (rel ** f1) if pre is None else pre[0]
     w = (mag / A) if pre is None else (mag * pre[1])
     # cummax over the frame (sublane) axis via log-step shifted maxes
+    # (lax.cummax is NOT implemented in Mosaic's TPU lowering — tried r4,
+    # interpret mode hid the gap until the compiled run)
     k = 1
     while k < TF:
         shifted = jnp.concatenate(
@@ -225,7 +236,6 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     # its power metric from the front-end kernel; kernels/ols_demod.py)
     if wf_avg == 0:
         return audio, None
-    p = xr * xr + xi * xi
     carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
     wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
     return audio, wf
