@@ -42,6 +42,10 @@ def main():
     # the flagship config-5 shape: fully kernelized (single-pass Pallas
     # kernel on TPU, interpret-mode on CPU) with the waterfall derived from
     # the PFB pass; --dense switches to the reference XLA formulation
+    if M & (M - 1):  # the fused kernels need pow2 M; fall back gracefully
+        print(f"note: --channels {M} is not a power of two; "
+              "using the dense XLA formulation")
+        args.dense = True
     if args.dense:
         cfg = ChannelizerConfig(fs_in=fs_ch * M, num_channels=M,
                                 emit_spectrum=True, spectrum_nfft=1024)

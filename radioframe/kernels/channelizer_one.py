@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from radioframe.kernels.demod_agc import (agc_prefix_consts,
                                           demod_agc_tile,
+                                          demod_pre_tables,
                                           release_decays_ok)
 from radioframe.kernels.pfb_dft import _dft_consts, _mm_p
 from radioframe.ops import demod as demod_op
@@ -204,14 +205,8 @@ class FusedChannelizerOne:
         # single-pass kernel is compute-bound, so the rel**f1 pow array and
         # the CW fine-tone trig arrays are paid ONCE here instead of per
         # grid step (grid recomputed them ~64x per block)
-        f1 = jnp.arange(TF, dtype=jnp.float32).reshape(TF, 1, 1)
-        pa = (jnp.asarray(rel, jnp.float32).reshape(1, M1, M2) ** f1)
-        pinv = 1.0 / pa
-        fidx = jnp.arange(TF, dtype=jnp.int32).reshape(TF, 1, 1)
-        fang = (jnp.asarray(cw_word, jnp.int32).reshape(1, M1, M2)
-                * fidx).astype(jnp.float32) * jnp.float32(2 * np.pi / 2 ** 32)
-        pc = jnp.cos(fang)
-        ps = jnp.sin(fang)
+        pa, pinv, pc, ps = demod_pre_tables(
+            TF, rel, cw_word, (M1, M2), demod_op.CW in self.en)
 
         en = self.en
         kern = functools.partial(

@@ -47,27 +47,34 @@ from radioframe.ops import demod as demod_op
 _SCALE = np.float32(2.0 * np.pi / 2.0 ** 32)
 _DC_POLE = 0.995  # dc_block default pole (ops/demod.py)
 
-# odd polynomial for atan on [0, 1]; Pallas TPU has no atan2 primitive,
-# so the kernel builds it from this. Degree 9, |err| < 1.3e-5 rad — the
-# NFM audio error that induces (err x dev_scale ~ 1.2e-5) sits two orders
-# below the 2e-4 parity tolerance, and halving the Horner chain shaves
-# VPU ops in the compute-bound single-pass channelizer (r4). The old
-# degree-15 set (|err| < 1e-7) is kept below for reference.
-_ATAN_C = (0.9998787433, -0.3304055736, 0.1804126844, -0.0854083083,
-           0.0209318117)
-_ATAN_C_HIGH = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
-                0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
+# odd polynomials for atan on [0, 1]; Pallas TPU has no atan2 primitive,
+# so the kernel builds it from one of these. The NFM audio error is
+# poly_err x dev_scale (= fs_channel / (2 pi deviation)), so the degree is
+# chosen PER CONFIG by atan_coeffs(): degree 9 (|err| < 1.3e-5 rad) where
+# dev_scale <= 4 (err x 4 = 5e-5, 4x under the 2e-4 parity tolerance —
+# halves the Horner chain in the compute-bound single-pass channelizer,
+# r4), degree 15 (|err| < 1e-7) otherwise.
+_ATAN_C9 = (0.9998787433, -0.3304055736, 0.1804126844, -0.0854083083,
+            0.0209318117)
+_ATAN_C15 = (0.9999993329, -0.3332985605, 0.1994653599, -0.1390853351,
+             0.0964200441, -0.0559098861, 0.0218612288, -0.0040540580)
 
 
-def _atan2(y, x):
+def atan_coeffs(dev_scale: float):
+    """Pick the atan polynomial so err x dev_scale stays ~4x under the
+    2e-4 audio parity tolerance for ANY fs_channel/deviation config."""
+    return _ATAN_C9 if dev_scale <= 4.0 else _ATAN_C15
+
+
+def _atan2(y, x, coeffs=_ATAN_C15):
     """Elementwise atan2 from mul/add/select only (Pallas-lowerable)."""
     ax, ay = jnp.abs(x), jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     t = lo / jnp.maximum(hi, 1e-30)
     s = t * t
-    p = jnp.float32(_ATAN_C[-1])
-    for c in _ATAN_C[-2::-1]:
+    p = jnp.float32(coeffs[-1])
+    for c in coeffs[-2::-1]:
         p = p * s + jnp.float32(c)
     r = p * t  # atan(t), t in [0, 1]
     r = jnp.where(ay > ax, jnp.float32(np.pi / 2) - r, r)
@@ -146,7 +153,8 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
             # factorized DDS: angle = coarse(acc + word*i*TF) + fine(word*f)
             # mod 2^32 — the int32 wraps shift the float angles by 2*pi
             # multiples, so the product of the two rotations is exact
-            ang_c = (cw_acc + cw_word * jnp.int32(i * TF))                 .astype(jnp.float32) * _SCALE
+            ang_c = ((cw_acc + cw_word * jnp.int32(i * TF))
+                     .astype(jnp.float32) * _SCALE)
             cc, sc = jnp.cos(ang_c), jnp.sin(ang_c)   # (1, ...) per tile
             c = cc * pre[2] - sc * pre[3]
             s = cc * pre[3] + sc * pre[2]
@@ -180,7 +188,7 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
         pi = jnp.concatenate([carry_ref[3:4], xi[: TF - 1]], axis=0)
         dr = xr * pr + xi * pi
         di = xi * pr - xr * pi
-        y_nfm = _atan2(di, dr) * jnp.float32(dev_scale)
+        y_nfm = _atan2(di, dr, atan_coeffs(dev_scale)) * jnp.float32(dev_scale)
         carry_ref[2:3] = xr[TF - 1: TF]
         carry_ref[3:4] = xi[TF - 1: TF]
         audio = audio + jnp.where(mode == demod_op.NFM, y_nfm, 0.0)
@@ -261,6 +269,28 @@ def agc_prefix_consts(TF: int, attack_alphas: tuple):
     return ltri, atri, dcol
 
 
+def demod_pre_tables(TF: int, rel, cw_word, cshape, cw_enabled: bool):
+    """Per-block tile-constant tables for demod_agc_tile's ``pre``.
+
+    Shared by FusedDemodAgc and FusedChannelizerOne (one definition — the
+    matching coarse rotation lives in the tile body). ``cshape`` is the
+    trailing channel shape ((M,) or (M1, M2)); when CW is statically
+    disabled the trig tables are not computed (the tile never reads them)
+    and ``pa`` placeholders are returned instead."""
+    f1 = jnp.arange(TF, dtype=jnp.float32).reshape((TF,) + (1,) * len(cshape))
+    pa = jnp.asarray(rel, jnp.float32).reshape((1,) + cshape) ** f1
+    pinv = 1.0 / pa
+    if cw_enabled:
+        fidx = jnp.arange(TF, dtype=jnp.int32) \
+            .reshape((TF,) + (1,) * len(cshape))
+        fang = (jnp.asarray(cw_word, jnp.int32).reshape((1,) + cshape)
+                * fidx).astype(jnp.float32) * _SCALE
+        pc, ps = jnp.cos(fang), jnp.sin(fang)
+    else:
+        pc = ps = pa  # dead inputs, never read in-kernel
+    return pa, pinv, pc, ps
+
+
 def release_decays_ok(release_values, max_tf: int) -> bool:
     """Rescale-boundedness guard for the in-kernel release max-decay
     (mirrors ops/scans.maxdecay_const_ok): rel**(-f1) runs up to
@@ -332,13 +362,8 @@ class FusedDemodAgc:
         ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
         n_a = atri.shape[0]
         # per-block tile-constant tables (see demod_agc_tile ``pre``)
-        f1 = jnp.arange(TF, dtype=jnp.float32)[:, None]
-        pa = jnp.asarray(rel, jnp.float32)[None, :] ** f1      # (TF, M)
-        pinv = 1.0 / pa
-        fang = (jnp.asarray(cw_word, jnp.int32)[None, :]
-                * jnp.arange(TF, dtype=jnp.int32)[:, None]) \
-            .astype(jnp.float32) * _SCALE
-        pc, ps = jnp.cos(fang), jnp.sin(fang)
+        pa, pinv, pc, ps = demod_pre_tables(
+            TF, rel, cw_word, (M,), demod_op.CW in self.en)
         en = self.en
         kern = functools.partial(
             _kernel, TF, M, grid, self.fs, self.dev_scale, self.wf_avg,
