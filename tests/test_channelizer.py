@@ -662,6 +662,29 @@ class TestSinglePassChannelizer:
         np.testing.assert_allclose(np.asarray(x_o["channel_power"]),
                                    np.asarray(x_d["channel_power"]), rtol=1e-4)
 
+    def test_am_channel_snr_acceptance(self):
+        """Signal-level acceptance on the SHIPPED fast path (not just
+        parity): an AM tone at a channel center demodulates at the same
+        SNR through the single-pass kernel as through the dense chain
+        (mirrors TestChannelizerChain.test_am_channel_demod)."""
+        M = 64
+        chain = ChannelizerChain(self._cfg(M, True))
+        fs_ch = chain.cfg.fs_channel
+        F = 4096
+        T = F * M
+        tt = np.arange(F) / fs_ch
+        tone = 0.7 * np.sin(2 * np.pi * 1000.0 * tt)
+        base = (1.0 + 0.8 * tone).astype(np.complex128)
+        n = np.arange(T) / chain.cfg.fs_in
+        up = np.repeat(base, M)
+        wide = (up * np.exp(2j * np.pi * (37 * fs_ch) * n)).astype(np.complex64)
+        mode = jnp.full((M,), demod_op.AM, jnp.int32)
+        st = chain.init_state()
+        st, audio, aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        snr = audio_snr_db(tone[512:], np.asarray(audio)[37][512:], trim=128)
+        assert snr > 15.0, f"single-pass channelized AM SNR {snr:.1f} dB"
+        assert np.argmax(np.asarray(aux["channel_power"])) == 37
+
     def test_step_planes_matches_step(self, rng):
         M = 64
         chain = ChannelizerChain(self._cfg(M, True))
