@@ -92,7 +92,10 @@ def bench_channelizer():
     from 0.78 to 0.2 ms/block."""
     from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 
-    M, iters = 4096, 128
+    M, iters = 4096, 256  # 256 in-loop blocks: the ~27 ms tunnel round
+    # trip costs 0.11 ms/block here vs 0.21 at 128 — at the r4 kernel's
+    # ~1.2 ms blocks that floor is no longer negligible (same steady-state
+    # convention as the flagship headline)
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
@@ -165,7 +168,7 @@ def bench_channelizer_sharded_d1():
     from radioframe.shard.channelizer import ShardedChannelizer
     from radioframe.shard.mesh import place_state
 
-    M, iters = 4096, 128
+    M, iters = 4096, 256  # steady-state convention (see bench_channelizer)
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
