@@ -80,6 +80,16 @@ def main():
         ols_hop=512,
     )
     chain = RxChain(cfg)
+    # the BENCH config (fused v2 front end + static mode subset) for the
+    # full-chain row — the unfused `chain` above isolates the XLA stages,
+    # but the full-chain number must measure what bench.py actually ships
+    # (r4 fix: the old full_chain row probed the unfused chain, 2.44 vs
+    # the real 0.84 ms/block, which skewed the r2-era SoL table)
+    bench_chain = RxChain(RxConfig(
+        fs_in=1_536_000.0, channels=C,
+        stages=(CicStage(R=8, N=4), FirStage(R=4, numtaps=97, passband_hz=15_000.0)),
+        ols_hop=512, fuse_frontend=True, fuse_frontend_depth=2,
+        enabled_modes=(0, 1, 2, 3)))
     T = 8 * chain.min_block
     print(f"device={jax.devices()[0]} C={C} T={T} iters={iters}", flush=True)
 
@@ -180,13 +190,21 @@ def main():
     timed("fused_nco_cic", fused_fn, lambda: fus.init_state(C),
           (x_ri, words), iters, results)
 
-    # full chain for reference
+    # full chain, UNFUSED (stage-isolation reference)
     def full_fn(st, x_ri, words, mode):
         x = jax.lax.complex(x_ri[0], x_ri[1])
         st, audio, _ = chain.step(st, x, words, mode)
         return st, jnp.sum(jnp.abs(audio[:, -1]))
-    timed("full_chain", full_fn, lambda: chain.init_state(C), (x_ri, words, mode),
-          iters, results)
+    timed("full_chain_unfused", full_fn, lambda: chain.init_state(C),
+          (x_ri, words, mode), iters, results)
+
+    # full chain, the SHIPPED bench config (fused v2 + mode subset)
+    def bench_fn(st, x_ri, words, mode):
+        x = jax.lax.complex(x_ri[0], x_ri[1])
+        st, audio, _ = bench_chain.step(st, x, words, mode)
+        return st, jnp.sum(jnp.abs(audio[:, -1]))
+    timed("full_chain", bench_fn, lambda: bench_chain.init_state(C),
+          (x_ri, words, mode), iters, results)
 
     floor = results[0]["ms_per_block"]
     total = results[-1]["ms_per_block"]
