@@ -46,7 +46,9 @@ class Radio:
         else:
             self._impl = self.chain
         self._step = jax.jit(self._impl.step)
-        self.state = self.chain.init_state(C)
+        # jit the state build: eager complex64 zeros dispatch op-by-op,
+        # which some transports (axon tunnel) cannot execute (r4)
+        self.state = jax.jit(lambda: self.chain.init_state(C))()
         self.last_aux = None
         self._words_dev = None  # cached device array; invalidated by tune()
 

@@ -185,6 +185,50 @@ def _cmd_cat(args):
     return 0
 
 
+def _cmd_monitor(args):
+    """Wideband WAV -> every-channel demod + waterfall (config 5 dataflow)."""
+    import numpy as np
+
+    from radioframe.api.monitor import Monitor
+    from radioframe.core import presets
+    from radioframe.io.wav import read_wav, write_wav
+
+    iq, fs = read_wav(args.wav)
+    M = args.channels
+    # fused single-pass kernels need pow2 M with full 128-lane tiles when
+    # compiled; fall back to the dense path otherwise (CPU interpret allows
+    # any pow2)
+    import jax as _jax
+
+    ok_fused = (M & (M - 1)) == 0 and (
+        _jax.default_backend() == "cpu" or M % 128 == 0)
+    cfg = presets.channelizer_61m44(M, fused=ok_fused, fs_in=fs)
+    mon = Monitor(cfg)
+    mon.set_mode_all(args.mode)
+    nmin = mon.chain.min_block
+    n = (len(iq) // nmin) * nmin
+    if n == 0:
+        print(f"capture too short: {len(iq)} < one block ({nmin})",
+              file=sys.stderr)
+        return 1
+    audio = mon.process(iq[:n])
+    cp = mon.channel_power()
+    top = np.argsort(cp)[::-1][:5]
+    print(f"{args.wav}: {n} wideband samples @ {fs:.0f} Hz -> "
+          f"{M} channels x {audio.shape[1]} audio samples "
+          f"@ {cfg.fs_channel:.0f} Hz")
+    for c in top:
+        print(f"  ch {int(c):4d} ({mon.channel_frequency(int(c)):+11.0f} Hz): "
+              f"{10 * np.log10(max(float(cp[c]), 1e-30)):6.1f} dB")
+    if args.audio_out is not None:
+        write_wav(args.audio_out, audio[args.channel], cfg.fs_channel)
+        print(f"channel {args.channel} audio -> {args.audio_out}")
+    if args.waterfall is not None:
+        np.save(args.waterfall, mon.waterfall())
+        print(f"waterfall -> {args.waterfall}")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="radioframe")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -215,6 +259,17 @@ def main(argv=None):
     demo.add_argument("--blocked", action="store_true")
     demo.add_argument("--snr", type=float, default=None)
 
+    mon = sub.add_parser(
+        "monitor", help="channelize a wideband IQ WAV: every-channel demod")
+    mon.add_argument("--wav", required=True, help="wideband IQ WAV input")
+    mon.add_argument("--channels", type=int, default=64)
+    mon.add_argument("--mode", default="ssb",
+                     choices=["ssb", "cw", "am", "nfm", "lsb"])
+    mon.add_argument("--channel", type=int, default=0,
+                     help="channel for --audio-out")
+    mon.add_argument("--audio-out", default=None, help="save one channel's audio WAV")
+    mon.add_argument("--waterfall", default=None, help="save waterfall .npy")
+
     cat = sub.add_parser("cat", help="serve CAT over TCP with a live stream")
     cat.add_argument("--port", type=int, default=4532, help="0 = ephemeral")
     cat.add_argument("--tone", type=float, default=39_000.0)
@@ -222,7 +277,8 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
     return {"info": _cmd_info, "rx": _cmd_rx, "tx": _cmd_tx, "decode": _cmd_decode,
-            "demo": _cmd_demo, "cat": _cmd_cat}[args.cmd](args)
+            "demo": _cmd_demo, "cat": _cmd_cat,
+            "monitor": _cmd_monitor}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -314,6 +314,11 @@ class FusedDemodAgc:
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
                  attack_alphas: tuple = (), interpret: bool = False):
         self.M = int(M)
+        if not interpret and self.M % 128 != 0:
+            raise ValueError(
+                f"FusedDemodAgc needs channels % 128 == 0 when compiled "
+                f"(got {self.M}, a partial lane tile — unproven under "
+                "Mosaic); use the dense bank for smaller M")
         self.fs = float(fs_channel)
         self.dev_scale = float(fs_channel / (2.0 * np.pi * nfm_deviation_hz))
         self.wf_avg = max(1, int(wf_avg))

@@ -152,6 +152,14 @@ class FusedPfbDft:
 
         self.M = int(num_channels)
         assert self.M & (self.M - 1) == 0, "fused PFB needs pow2 M"
+        if not interpret and self.M % 128 != 0:
+            # compiled Mosaic requires the full 128-lane minor dim (M2=128):
+            # smaller M lowers to lane-merging relayouts Mosaic rejects
+            # ("tpu.reshape ... unsupported"), found driving the CLI at M=64
+            # on hardware (r4) — interpret-mode tests cannot see this
+            raise ValueError(
+                f"fused channelizer kernels need num_channels % 128 == 0 on "
+                f"TPU (got {self.M}); use the dense path for smaller M")
         self.K = int(taps_per_channel)
         proto = pfb_prototype_taps(self.M, self.K, window)
         self._h = np.ascontiguousarray(proto.reshape(self.K, self.M)

@@ -701,3 +701,30 @@ class TestSinglePassChannelizer:
                                       np.asarray(x2["waterfall"]))
         np.testing.assert_array_equal(np.asarray(st1["pfb"]),
                                       np.asarray(st2["pfb"]))
+
+
+class TestCompiledLaneGate:
+    """Compiled (non-interpret) fused kernels require num_channels % 128
+    == 0 — smaller M lowers to lane-merging relayouts Mosaic rejects,
+    found by driving the CLI at M=64 on hardware (r4). The gate raises at
+    BUILD time with a named limit; interpret mode (CPU tests) still
+    accepts any pow2 M."""
+
+    def test_pfb_dft_gate(self):
+        from radioframe.kernels.pfb_dft import FusedPfbDft
+
+        with pytest.raises(ValueError, match="128"):
+            FusedPfbDft(64, 8, interpret=False)
+        FusedPfbDft(64, 8, interpret=True)  # interpret path unaffected
+
+    def test_single_pass_gate(self):
+        from radioframe.kernels.channelizer_one import FusedChannelizerOne
+
+        with pytest.raises(ValueError, match="128"):
+            FusedChannelizerOne(64, 8, 15e3, 2500.0, interpret=False)
+
+    def test_demod_agc_gate(self):
+        from radioframe.kernels.demod_agc import FusedDemodAgc
+
+        with pytest.raises(ValueError, match="128"):
+            FusedDemodAgc(64, 15e3, 2500.0, interpret=False)
