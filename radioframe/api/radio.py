@@ -45,7 +45,11 @@ class Radio:
             self._impl = ShardedRxChain(self.chain, mesh)
         else:
             self._impl = self.chain
-        self._step = jax.jit(self._impl.step)
+        def _step_planes(state, ir, ii, words, modes):
+            return self._impl.step(state, jax.lax.complex(ir, ii), words,
+                                   modes)
+
+        self._step = jax.jit(_step_planes)
         # jit the state build: eager complex64 zeros dispatch op-by-op,
         # which some transports (axon tunnel) cannot execute (r4)
         self.state = jax.jit(lambda: self.chain.init_state(C))()
@@ -71,14 +75,19 @@ class Radio:
 
     def process(self, iq_block) -> np.ndarray:
         """Feed one IQ block ((T,) shared wideband or (C, T)); returns audio."""
-        iq = jnp.asarray(iq_block, jnp.complex64)
+        # f32 I/Q planes host-side, complex formed on device: complex64
+        # host->device transfers are unimplemented on some transports
+        # (the axon tunnel), and planes are the faster path everywhere (r4)
+        iq = np.asarray(iq_block)
         if iq.ndim == 1:
             iq = iq[None, :]
+        ir = jnp.asarray(np.ascontiguousarray(iq.real, np.float32))
+        ii = jnp.asarray(np.ascontiguousarray(iq.imag, np.float32))
         if self._words_dev is None:
             self._words_dev = jnp.asarray(nco.freq_word(self._freqs, self.config.fs_in))
         words = self._words_dev
         modes = jnp.asarray(self._modes)
-        self.state, audio, aux = self._step(self.state, iq, words, modes)
+        self.state, audio, aux = self._step(self.state, ir, ii, words, modes)
         self.last_aux = aux
         return np.asarray(audio)
 

@@ -58,7 +58,9 @@ class Transceiver:
         C = rx_cfg.channels
         self.chain = DuplexChain(rx_cfg, tx_cfg)
         self._step = jax.jit(self.chain.step)
-        self.state = self.chain.init_state(C)
+        # jit the state build: eager complex64 zeros dispatch op-by-op,
+        # which some transports (axon tunnel) cannot execute (r4)
+        self.state = jax.jit(lambda: self.chain.init_state(C))()
         # VFOs + offsets (host side, like the TRX struct — but per channel)
         self._vfo_a = np.zeros(C, np.float64)
         self._vfo_b = np.zeros(C, np.float64)

@@ -125,10 +125,22 @@ class TestLiveLoop:
                 _ask(cli, "FA00000039000;MD2;FA;")
                 sent_tune = len(log)
                 n2 = wait_blocks(sent_tune + 6)
-                cli.sendall(b"TX;")  # key PTT (no response frame)
+                # TX;/RX; have no response frame, so sending is NOT
+                # synchronized with the server thread applying them — wait
+                # for the state flip before recording the block index
+                # (r4: a faster jitted Transceiver init widened this race)
+                def wait_ptt(value, timeout=10.0):
+                    t0 = time.monotonic()
+                    while trx._ptt is not value:
+                        assert time.monotonic() - t0 < timeout, "PTT cmd lost"
+                        time.sleep(0.005)
+
+                cli.sendall(b"TX;")  # key PTT
+                wait_ptt(True)
                 sent_tx = len(log)
                 wait_blocks(sent_tx + 6)
                 cli.sendall(b"RX;")
+                wait_ptt(False)
                 sent_rx = len(log)
                 wait_blocks(sent_rx + 6)
             finally:
