@@ -103,12 +103,22 @@ def _cmd_tx(args):
         print(f"audio too short: {len(audio)} < one block ({tx.min_block})",
               file=sys.stderr)
         return 1
+    import jax
+
     w = jnp.asarray([nco.freq_word(args.freq, tx.cfg.fs_out)], jnp.int32)
     mode = jnp.asarray([demod_op.MODE_NAMES[args.mode]], jnp.int32)
-    st = tx.init_state(1)
-    st, iq = tx.step(st, jnp.asarray(audio[None, :n], jnp.float32), w, mode)
-    iq = np.asarray(iq)[0]
-    write_wav(args.out, iq, tx.cfg.fs_out)
+    # jit the whole step (op-by-op complex dispatch is unimplemented on
+    # some transports) and fetch f32 I/Q planes, interleaving host-side
+    st = jax.jit(lambda: tx.init_state(1))()
+
+    def _step(st, a, w, m):
+        st, iq = tx.step(st, a, w, m)
+        return st, jnp.real(iq), jnp.imag(iq)
+
+    st, ir, ii = jax.jit(_step)(st, jnp.asarray(audio[None, :n], jnp.float32),
+                                w, mode)
+    iq = np.asarray(ir)[0] + 1j * np.asarray(ii)[0]
+    write_wav(args.out, iq.astype(np.complex64), tx.cfg.fs_out)
     print(f"{args.wav}: {n} audio samples @ {fs:.0f} Hz -> {len(iq)} IQ samples "
           f"@ {tx.cfg.fs_out:.0f} Hz ({args.mode} @ {args.freq:+.0f} Hz) -> {args.out}")
     return 0
