@@ -42,8 +42,11 @@ def main():
     # the flagship config-5 shape: fully kernelized (single-pass Pallas
     # kernel on TPU, interpret-mode on CPU) with the waterfall derived from
     # the PFB pass; --dense switches to the reference XLA formulation
-    if M & (M - 1):  # the fused kernels need pow2 M; fall back gracefully
-        print(f"note: --channels {M} is not a power of two; "
+    from radioframe.kernels.pfb_dft import fused_channels_ok
+
+    if not fused_channels_ok(M, not args.tpu):  # fall back gracefully
+        print(f"note: --channels {M} cannot use the fused kernels here "
+              "(needs pow2, and % 128 == 0 on TPU); "
               "using the dense XLA formulation")
         args.dense = True
     if args.dense:

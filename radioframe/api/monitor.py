@@ -52,8 +52,6 @@ class Monitor:
         # planes transfer everywhere and the complex view is formed on
         # device (same convention as bench.py / tools/verify_tpu.py)
         def _step_planes(state, wr, wi, mode):
-            import jax.numpy as jnp  # noqa: F401 (traced context)
-
             return self._impl.step(state, jax.lax.complex(wr, wi), mode)
 
         self._step = jax.jit(_step_planes)

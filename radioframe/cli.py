@@ -205,13 +205,22 @@ def _cmd_monitor(args):
 
     iq, fs = read_wav(args.wav)
     M = args.channels
+    if not 0 <= args.channel < M:
+        print(f"--channel {args.channel} out of range [0, {M})",
+              file=sys.stderr)
+        return 1
     # fused single-pass kernels need pow2 M with full 128-lane tiles when
     # compiled; fall back to the dense path otherwise (CPU interpret allows
     # any pow2)
     import jax as _jax
 
-    ok_fused = (M & (M - 1)) == 0 and (
-        _jax.default_backend() == "cpu" or M % 128 == 0)
+    from radioframe.kernels.pfb_dft import fused_channels_ok
+
+    ok_fused = fused_channels_ok(M, _jax.default_backend() == "cpu")
+    if not ok_fused:
+        print(f"note: --channels {M} cannot use the fused kernels here "
+              "(needs pow2, and % 128 == 0 when compiled); "
+              "using the dense XLA formulation")
     cfg = presets.channelizer_61m44(M, fused=ok_fused, fs_in=fs)
     mon = Monitor(cfg)
     mon.set_mode_all(args.mode)

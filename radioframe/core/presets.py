@@ -79,6 +79,9 @@ def channelizer_61m44(num_channels: int = 4096, fused: bool = True, **kw):
         base.update(emit_spectrum=True, waterfall_from_pfb=True,
                     waterfall_frame_avg=16, fuse_pfb=True, fuse_demod=True,
                     fuse_single_pass=True, dft_precision="b3",
-                    enabled_modes=(0, 1, 2, 3))
+                    # every kernel-supported demod (SAM alone needs the
+                    # dense bank) — a mode the Monitor/CLI offers must
+                    # never compile to silence
+                    enabled_modes=(0, 1, 2, 3, 4))
     base.update(kw)
     return ChannelizerConfig(**base)

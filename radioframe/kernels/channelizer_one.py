@@ -38,7 +38,8 @@ from radioframe.kernels.demod_agc import (agc_prefix_consts,
                                           demod_agc_tile,
                                           demod_pre_tables,
                                           release_decays_ok)
-from radioframe.kernels.pfb_dft import _dft_consts, _mm_p
+from radioframe.kernels.pfb_dft import (_dft_consts, _mm_p,
+                                        fused_channels_ok)
 from radioframe.ops import demod as demod_op
 
 
@@ -122,11 +123,7 @@ class FusedChannelizerOne:
 
         self.M = int(num_channels)
         assert self.M & (self.M - 1) == 0, "fused channelizer needs pow2 M"
-        if not interpret and self.M % 128 != 0:
-            # compiled Mosaic requires the full 128-lane minor dim (M2=128):
-            # smaller M lowers to lane-merging relayouts Mosaic rejects
-            # ("tpu.reshape ... unsupported"), found driving the CLI at M=64
-            # on hardware (r4) — interpret-mode tests cannot see this
+        if not fused_channels_ok(self.M, interpret):
             raise ValueError(
                 f"fused channelizer kernels need num_channels % 128 == 0 on "
                 f"TPU (got {self.M}); use the dense path for smaller M")

@@ -314,7 +314,9 @@ class FusedDemodAgc:
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
                  attack_alphas: tuple = (), interpret: bool = False):
         self.M = int(M)
-        if not interpret and self.M % 128 != 0:
+        from radioframe.kernels.pfb_dft import fused_channels_ok
+
+        if not (interpret or self.M % 128 == 0):
             raise ValueError(
                 f"FusedDemodAgc needs channels % 128 == 0 when compiled "
                 f"(got {self.M}, a partial lane tile — unproven under "

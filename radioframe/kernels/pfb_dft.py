@@ -56,6 +56,14 @@ def _dft_consts(M: int):
             f32(TW.real), f32(TW.imag))
 
 
+def fused_channels_ok(M: int, interpret: bool) -> bool:
+    """One predicate for every fused-channelizer front end and caller:
+    pow2 M always; compiled Mosaic additionally needs full 128-lane tiles
+    (M % 128 == 0 — smaller M lowers to lane-merging relayouts Mosaic
+    rejects, found at M=64 on hardware in r4)."""
+    return (M & (M - 1)) == 0 and (interpret or M % 128 == 0)
+
+
 def _bf16_split(a):
     """Error-free split a = hi + lo with both parts bf16 (the b3 trick)."""
     hi = a.astype(jnp.bfloat16)
@@ -152,11 +160,7 @@ class FusedPfbDft:
 
         self.M = int(num_channels)
         assert self.M & (self.M - 1) == 0, "fused PFB needs pow2 M"
-        if not interpret and self.M % 128 != 0:
-            # compiled Mosaic requires the full 128-lane minor dim (M2=128):
-            # smaller M lowers to lane-merging relayouts Mosaic rejects
-            # ("tpu.reshape ... unsupported"), found driving the CLI at M=64
-            # on hardware (r4) — interpret-mode tests cannot see this
+        if not fused_channels_ok(self.M, interpret):
             raise ValueError(
                 f"fused channelizer kernels need num_channels % 128 == 0 on "
                 f"TPU (got {self.M}); use the dense path for smaller M")

@@ -208,10 +208,13 @@ def main():
 
     floor = results[0]["ms_per_block"]
     total = results[-1]["ms_per_block"]
+    # stage rows exclude the floor row AND both full-chain rows (r4 fix:
+    # full_chain_unfused must not count as a "stage" in the sum)
+    stages = results[1:-2]
     print(json.dumps({"results": results, "floor_ms": floor,
                       "stage_sum_minus_floor_ms": round(
-                          sum(r["ms_per_block"] for r in results[1:-1])
-                          - floor * (len(results) - 2), 4),
+                          sum(r["ms_per_block"] for r in stages)
+                          - floor * len(stages), 4),
                       "full_minus_floor_ms": round(total - floor, 4)}))
 
 
