@@ -36,6 +36,23 @@ def _sync(x):
     return float(x)
 
 
+def timed_median(once, n_runs: int = 3):
+    """Median-of-N timing with the full spread recorded (VERDICT r4 #1).
+
+    Best-of-2 could not bound the axon tunnel's run-to-run variance — the
+    two timed runs inside BENCH_r04 differed by 20% and the official
+    flagship number read as a 21% regression that the builder's own logs
+    said was noise. The median of three is robust to one slow outlier,
+    and every row records its min/median/max so any residual variance is
+    visible in the artifact instead of silently deciding the headline.
+
+    ``once`` runs one timed repetition and returns its wall seconds."""
+    dts = sorted(once() for _ in range(n_runs))
+    med = dts[n_runs // 2]
+    return med, {"median_s": round(med, 4),
+                 "runs_s": [round(x, 4) for x in dts]}
+
+
 def bench_adc_rate():
     """ADC-rate dataflow: 61.44 Msps -> 48 kHz (R=1280) per channel, the
     FPGA-equivalent full-rate DDC plan (core/presets.adc_61m44), fused
@@ -68,15 +85,18 @@ def bench_adc_rate():
     state = jax.jit(lambda: chain.init_state(C))()
     state, s = runj(state, iq_ri, words, mode, n=iters)
     _sync(s)
-    dts = []
-    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = runj(state, iq_ri, words, mode, n=iters)
+        st, s = runj(hold[0], iq_ri, words, mode, n=iters)
+        hold[0] = st
         _sync(s)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+        return time.perf_counter() - t0
+
+    dt, spread = timed_median(once)
     return C * T * iters / dt, {"channels": C, "block_T": T, "decim": cfg.decim,
-                                "iters": iters, "seconds": round(dt, 4)}
+                                "iters": iters, **spread}
 
 
 def bench_channelizer():
@@ -139,15 +159,18 @@ def bench_channelizer():
     state = jax.jit(chain.init_state)()
     state, s = runj(state, wb_ri, mode, n=iters)
     _sync(s)
-    dts = []
-    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = runj(state, wb_ri, mode, n=iters)
+        st, s = runj(hold[0], wb_ri, mode, n=iters)
+        hold[0] = st
         _sync(s)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+        return time.perf_counter() - t0
+
+    dt, spread = timed_median(once)
     return T * iters / dt, {"channels": M, "block_T": T,
-                            "iters": iters, "seconds": round(dt, 4)}
+                            "iters": iters, **spread}
 
 
 def bench_channelizer_sharded_d1():
@@ -197,15 +220,18 @@ def bench_channelizer_sharded_d1():
     state = place_state(jax.jit(chain.init_state)(), sch.state_specs(), mesh)
     state, s = runj(state, wb_ri, mode, n=iters)
     _sync(s)
-    dts = []
-    for _ in range(2):
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = runj(state, wb_ri, mode, n=iters)
+        st, s = runj(hold[0], wb_ri, mode, n=iters)
+        hold[0] = st
         _sync(s)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+        return time.perf_counter() - t0
+
+    dt, spread = timed_median(once)
     return T * iters / dt, {"channels": M, "block_T": T, "mesh_devices": 1,
-                            "iters": iters, "seconds": round(dt, 4)}
+                            "iters": iters, **spread}
 
 
 def bench_tx():
@@ -238,15 +264,18 @@ def bench_tx():
     state = jax.jit(lambda: chain.init_state(C))()
     state, s = runj(state, audio, words, mode, n=iters)
     _sync(s)
-    dts = []
-    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = runj(state, audio, words, mode, n=iters)
+        st, s = runj(hold[0], audio, words, mode, n=iters)
+        hold[0] = st
         _sync(s)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+        return time.perf_counter() - t0
+
+    dt, spread = timed_median(once)
     return C * Ta * L * iters / dt, {"channels": C, "audio_T": Ta, "interp": L,
-                                     "iters": iters, "seconds": round(dt, 4)}
+                                     "iters": iters, **spread}
 
 
 def bench_duplex():
@@ -289,16 +318,19 @@ def bench_duplex():
     state = jax.jit(lambda: duplex.init_state(C))()
     state, s = runj(state, iq_ri, audio, words, mode, n=iters)
     _sync(s)
-    dts = []
-    for _ in range(2):  # best-of-2: bounds tunnel/runtime variance
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = runj(state, iq_ri, audio, words, mode, n=iters)
+        st, s = runj(hold[0], iq_ri, audio, words, mode, n=iters)
+        hold[0] = st
         _sync(s)
-        dts.append(time.perf_counter() - t0)
-    dt = min(dts)
+        return time.perf_counter() - t0
+
+    dt, spread = timed_median(once)
     return C * T * iters / dt, {"channels": C, "block_T": T, "rx_decim": rx_cfg.decim,
                                 "tx_interp": tx_cfg.interp, "iters": iters,
-                                "seconds": round(dt, 4)}
+                                **spread}
 
 
 def main():
@@ -361,24 +393,30 @@ def main():
     # swamps real chain changes — that is why it is NOT the headline)
     detail["raw_64iter"] = {"samples_per_s": round(C * T * blocks / dt, 1),
                             "iters": blocks, "seconds": round(dt, 4)}
-    # HEADLINE: steady-state (256-iter) throughput, best of two runs
-    # (VERDICT r2 #2: the driver-parsed value must be dispatch-floor-robust —
-    # at 256 iters the tunnel round trip costs 0.11 ms/block and two runs
-    # bound the residual variance; production streaming runs persistent
-    # loops, so this is the honest continuous-operation figure)
-    ss = []
-    for _ in range(2):
-        state, s = run(state, iq_ri, words, mode, n=4 * blocks)
-        float(s)
+    # HEADLINE: steady-state (256-iter) throughput, MEDIAN of three runs
+    # with the spread recorded (VERDICT r4 #1: best-of-2 min over adjacent
+    # runs did not bound the axon tunnel's variance — BENCH_r04's two runs
+    # differed 20% and the official number read as a noise regression; the
+    # median is outlier-robust and the runs_s list makes the spread part of
+    # the artifact). At 256 iters the tunnel round trip costs 0.11 ms/block;
+    # production streaming runs persistent loops, so this is the honest
+    # continuous-operation figure.
+    state, s = run(state, iq_ri, words, mode, n=4 * blocks)  # re-warm
+    float(s)
+    hold = [state]
+
+    def once():
         t0 = time.perf_counter()
-        state, s = run(state, iq_ri, words, mode, n=4 * blocks)
+        st, s = run(hold[0], iq_ri, words, mode, n=4 * blocks)
+        hold[0] = st
         float(s)
-        ss.append(time.perf_counter() - t0)
-    dt4 = min(ss)
+        return time.perf_counter() - t0
+
+    dt4, spread = timed_median(once, n_runs=5)  # flagship: n=5, it IS the
+    # driver-parsed value and each run is only ~0.3 s
     rate = C * T * 4 * blocks / dt4
     detail["steady_state_256iter"] = {
-        "samples_per_s": round(rate, 1),
-        "seconds": [round(x, 4) for x in ss]}
+        "samples_per_s": round(rate, 1), **spread}
     # bench matrix (VERDICT r1 #4, r2 #4): the other four dataflows, logged
     # in detail so the driver-parsed flagship line stays the headline
     import os

@@ -114,7 +114,7 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
 def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
                    alphas, dev_scale, xr, xi, mode, cw_word, cw_acc, rel, al,
                    tgt, mg, ltri_ref, atri_ref, dcol_ref, carry_ref,
-                   pre=None):
+                   pre=None, apply_agc=True):
     """One frame-tile of the demod bank + AGC, rank-agnostic.
 
     ``xr``/``xi`` are (TF, M) or (TF, M1, M2) VALUES (channels on the
@@ -123,6 +123,15 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     FusedDemodAgc kernel and the single-pass channelizer kernel
     (kernels/channelizer_one.py) — the math is identical, only the channel
     layout differs. Returns (audio, wf_tile).
+
+    ``apply_agc=False`` (static) skips the AGC stages and returns PRE-gain
+    demod audio: the time-sharded single-pass channelizer
+    (shard/channelizer.py) runs the demod in-kernel per shard — its AM/NFM
+    lookback seeds are locally computable from the wideband halo — but
+    completes release/attack/gain ACROSS shards in XLA on the audio-rate
+    output, because the release max-decay and attack one-pole carries
+    depend on upstream shards while the in-kernel forms assume a known
+    entering envelope. Carry rows 4/5 are left untouched in that mode.
 
     ``pre``: optional (A, invA, cw_cf, cw_sf) tile-constant tables, each
     shaped like xr's tile — A = rel**f1 (+ its reciprocal, killing the
