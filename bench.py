@@ -173,17 +173,20 @@ def bench_channelizer():
                             "iters": iters, **spread}
 
 
-def bench_channelizer_sharded_d1():
-    """Config-5 SHARDED formulation on a 1-device mesh: the acceptance shape
-    runs ShardedChannelizer (halo ppermute + plane all_to_all + per-shard
-    fused back end; collectives compile away at D=1), so this row states the
-    sharded formulation's single-chip cost next to the unsharded headline
-    (VERDICT r3 ask #2 bench note). The sharded path runs the TWO-kernel
-    fused form (pfb_dft + per-shard demod_agc, channel-major) because the
-    all_to_all must sit between the stages, so the delta vs the unsharded
-    `channelizer_4096` row (single-pass kernel) is the interstage HBM round
-    trip + shard plumbing — see ROADMAP r4 design note for the cross-shard
-    single-pass idea."""
+def bench_channelizer_sharded_d1(single_pass: bool = False):
+    """Config-5 SHARDED formulations on a 1-device mesh: the acceptance
+    shape runs ShardedChannelizer (collectives compile away at D=1), so
+    these rows state each sharded formulation's single-chip cost next to
+    the unsharded headline.
+
+    single_pass=False: the TWO-kernel fused form (pfb_dft + per-shard
+    demod_agc through the plane all_to_all) — the delta vs the unsharded
+    `channelizer_4096` row is the interstage HBM round trip + plumbing.
+    single_pass=True (r5, VERDICT r4 ask #1): the NO-all_to_all form —
+    whole-M single-pass kernel per time shard with in-kernel AGC disabled
+    and the AGC/DC carries completed in XLA; its D=1 delta vs
+    `channelizer_4096` prices the XLA AGC completion, while on a pod it
+    removes the (2, F, M) all_to_all (the dominant cross-chip bytes)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -196,7 +199,7 @@ def bench_channelizer_sharded_d1():
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
                             fuse_demod=True, enabled_modes=(0, 1, 2, 3),
-                            dft_precision="b3")
+                            dft_precision="b3", fuse_single_pass=single_pass)
     chain = ChannelizerChain(cfg)
     mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
     sch = ShardedChannelizer(chain, mesh)
@@ -426,6 +429,8 @@ def main():
         for name, fn in (("adc_rate_r1280", bench_adc_rate),
                          ("channelizer_4096", bench_channelizer),
                          ("channelizer_sharded_d1", bench_channelizer_sharded_d1),
+                         ("channelizer_sharded_one_d1",
+                          lambda: bench_channelizer_sharded_d1(single_pass=True)),
                          ("tx_adc_r1280", bench_tx),
                          ("duplex", bench_duplex)):
             try:

@@ -45,6 +45,7 @@ from radioframe.ops import demod as demod_op
 
 def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
             en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas, dev_scale,
+            apply_agc,
             # inputs: PFB part
             xr_ref, xi_ref, tl_ref, h_ref,
             w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
@@ -94,7 +95,8 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
         dev_scale, yr, yi, mode_ref[...], cw_word_ref[...], cw_acc_ref[...],
         rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
         ltri_ref, atri_ref, dcol_ref, carry_ref,
-        pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]))
+        pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]),
+        apply_agc=apply_agc)
     audio_ref[...] = audio
     wf_ref[...] = wf[None]
 
@@ -118,7 +120,14 @@ class FusedChannelizerOne:
                  fs_channel: float, nfm_deviation_hz: float,
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
                  attack_alphas: tuple = (), window: str = "hamming",
-                 interpret: bool = False, dft_precision: str = "highest"):
+                 interpret: bool = False, dft_precision: str = "highest",
+                 apply_agc: bool = True):
+        # apply_agc=False: demod-only variant for the TIME-SHARDED
+        # single-pass channelizer (shard/channelizer.py) — each shard runs
+        # PFB+DFT+demod on its local wideband slice for ALL M channels
+        # (AM/NFM lookbacks seed exactly from the halo) and the AGC
+        # release/attack/gain, whose carries cross shard boundaries, is
+        # completed in XLA on the audio-rate output (demod_agc_tile doc).
         from radioframe.ops.filter_design import pfb_prototype_taps
 
         self.M = int(num_channels)
@@ -150,6 +159,7 @@ class FusedChannelizerOne:
         self.en = en
         self.attack_alphas = tuple(sorted({float(a) for a in attack_alphas
                                            if float(a) != 0.0}))
+        self.apply_agc = bool(apply_agc)
         self.interpret = interpret
 
     def release_ok(self, release_values) -> bool:
@@ -218,7 +228,7 @@ class FusedChannelizerOne:
             _kernel, TF, K, M1, M2, self._prec, grid, self.wf_avg,
             demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
             demod_op.AM in en, demod_op.NFM in en, self.attack_alphas,
-            self.dev_scale)
+            self.dev_scale, self.apply_agc)
         c = lambda a: jnp.asarray(a)
         h3 = self._h.reshape(K, M1, M2)
         cmap = lambda v, dt: jnp.asarray(v, dt).reshape(1, M1, M2)

@@ -203,6 +203,14 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
         audio = audio + jnp.where(mode == demod_op.NFM, y_nfm, 0.0)
 
     # --- AGC: release max-decay (rescale + log-step cummax) --------------
+    if not apply_agc:
+        # demod-only mode (time-sharded single-pass channelizer): gain is
+        # completed across shards in XLA; emit pre-AGC audio + aux only
+        if wf_avg == 0:
+            return audio, None
+        carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
+        wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
+        return audio, wf
     mag = jnp.abs(audio)
     # ONE pow array A = rel^{f1}; rel^{-f1} = 1/A and rel^{f1+1} = A*rel are
     # derived by mul/div — pow lowers to exp(log) on the VPU, so this cuts

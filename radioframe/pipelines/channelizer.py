@@ -58,8 +58,11 @@ class ChannelizerConfig:
     # single-pass channelizer kernel (kernels/channelizer_one.py): PFB +
     # DFT + demod + AGC + waterfall in ONE VMEM pass — the channel planes
     # never touch HBM (the two-kernel form pays a 2x-input-size interstage
-    # round trip). Requires fuse_pfb + fuse_demod; unsharded path only (the
-    # sharded channelizer needs the all_to_all between the stages).
+    # round trip). Requires fuse_pfb + fuse_demod. Under a mesh the
+    # sharded channelizer honors it too (r5): time-sharded whole-M kernel
+    # per shard with NO all_to_all — demod carries seed exactly from a
+    # K*M halo and AGC completes across shards in XLA
+    # (shard/channelizer.py module doc).
     fuse_single_pass: bool = False
     # fused Pallas demod+AGC back end (kernels/demod_agc.py): consumes the
     # PFB kernel's frame-major planes directly — the (M, F) complex channel
@@ -72,6 +75,20 @@ class ChannelizerConfig:
     @property
     def fs_channel(self) -> float:
         return self.fs_in / self.num_channels
+
+
+def native_order(v, M1: int, M2: int):
+    """Per-channel vector, channel order -> the DFT's native (k1, k2) order
+    (pfb_dft.FusedPfbDft.chan_perm expressed as an axis swap):
+    v_n[k1*M2 + k2] = v_c[M1*k2 + k1]. Operates on the LAST axis; O(M)."""
+    return jnp.swapaxes(v.reshape(v.shape[:-1] + (M2, M1)), -2, -1) \
+              .reshape(v.shape)
+
+
+def channel_order(v, M1: int, M2: int):
+    """Inverse of native_order (native -> channel order, last axis)."""
+    return jnp.swapaxes(v.reshape(v.shape[:-1] + (M1, M2)), -2, -1) \
+              .reshape(v.shape)
 
 
 def pfb_waterfall_lines(chans, frame_avg: int):
@@ -239,14 +256,8 @@ class ChannelizerChain:
         cfg = self.cfg
         M = cfg.num_channels
         M1, M2 = self.pfb.M1, self.pfb.M2
-
-        def to_native(v):  # channel order -> native: v_n[k1*M2+k2] = v_c[M1*k2+k1]
-            return jnp.swapaxes(v.reshape(v.shape[:-1] + (M2, M1)), -2, -1) \
-                      .reshape(v.shape)
-
-        def to_channel(v):  # native -> channel order (inverse axis swap)
-            return jnp.swapaxes(v.reshape(v.shape[:-1] + (M1, M2)), -2, -1) \
-                      .reshape(v.shape)
+        to_native = lambda v: native_order(v, M1, M2)
+        to_channel = lambda v: channel_order(v, M1, M2)
 
         d, a = state["demod"], state["agc"]
         d_n = {"cw_phase": to_native(d["cw_phase"]),

@@ -1,6 +1,8 @@
 """Pod-sharded channelizer (BASELINE config 5; SURVEY.md §2.3 re-shard row).
 
-Dataflow over a 1-D device mesh ("dev", D devices):
+Two formulations over a 1-D device mesh ("dev", D devices):
+
+TWO-KERNEL (dense or fuse_demod, the r3/r4 form):
 
   wideband IQ, time-sharded P('dev')
     -> causal halo ((K-1)*M raw samples via ppermute)
@@ -11,21 +13,80 @@ Dataflow over a 1-D device mesh ("dev", D devices):
     -> per-channel demod bank + AGC on full-length channel streams
        [channel-sharded, no further collectives]
 
-Audio out: (M, F) sharded P('dev') over channels. Wideband waterfall stays
-time-sharded P('dev') over frames.
+  Audio out: (M, F) sharded P('dev') over channels. Wideband waterfall
+  stays time-sharded P('dev') over frames.
+
+SINGLE-PASS (fuse_single_pass, r5 — VERDICT r4 ask #1): NO all_to_all.
+Each shard runs the whole FusedChannelizerOne kernel (PFB + CT MXU DFT +
+demod, AGC disabled in-kernel) on its LOCAL wideband slice for ALL M
+channels; the only full-rate collective is the K*M-sample causal halo
+(one frame more than the PFB needs, so every shard rebuilds wideband
+frame -1's channel plane locally and seeds its AM-envelope and NFM
+lookbacks EXACTLY). The remaining sequential carries are completed across
+shards on O(M) vectors:
+
+  - AM DC block: zero-seeded in-kernel; the true entering carry per shard
+    comes from a D-length affine chain over shard-final values
+    (halo.affine_carry_chain) and is applied as a rank-1 decay-column
+    fixup to the audio (y += 0.995^{f+1} * carry_in) — exact.
+  - AGC release/attack/gain: computed in XLA on the audio-rate output via
+    the existing cross-shard scan completions (sharded_maxdecay_scan /
+    sharded_affine_scan with constant-coefficient fast paths) — exact,
+    including mixed instant/smoothed attack populations; release decays
+    too fast for the rescale bound fall back to the associative form
+    instead of erroring (unlike the in-kernel release).
+  - CW DDS: per-shard int32 phase offset word*(d*F_loc) — exact by wrap.
+
+  Audio out: (M, F) sharded P('dev') over TIME (each device holds its
+  time slice of every channel — the natural layout for streaming
+  consumers). Per-channel state stays replicated and identical to the
+  unsharded chain's tree, so checkpoints interoperate across D and with
+  the unsharded path. On a pod this trades the (2, F, M) all_to_all (the
+  dominant cross-chip bytes of the two-kernel form) for a K*M halo + a
+  few O(D*M) all_gathers.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from radioframe.ops import agc as agc_op
 from radioframe.ops import demod as demod_op
 from radioframe.pipelines.channelizer import ChannelizerChain
-from radioframe.shard.halo import causal_halo, last_shard_value, sharded_affine_scan
+from radioframe.shard.halo import (affine_carry_chain, causal_halo,
+                                   last_shard_value, sharded_affine_scan,
+                                   sharded_maxdecay_scan)
+
+
+def _pfb_frame_native(halo, kern):
+    """Channel plane of wideband frame -1 from the K*M-sample halo, in the
+    DFT's native (k1, k2) order — the same polyphase + Cooley-Tukey math
+    as one kernel frame (kernels/channelizer_one.py), evaluated in XLA for
+    ONE frame so each time shard can seed its AM/NFM lookbacks exactly.
+
+    halo (K*M,) complex = wideband frames -K..-1. Returns (y1r, y1i) (M,).
+    """
+    K, M, M1, M2 = kern.K, kern.M, kern.M1, kern.M2
+    hm = halo.reshape(K, M)
+    h = jnp.asarray(kern._h)  # (K, M) prototype rows
+    # u = sum_t h[t] * frame(-1-t); frame(-1-t) sits at hm[K-1-t]
+    ur = jnp.sum(h * jnp.real(hm[::-1]), axis=0).reshape(M1, M2)
+    ui = jnp.sum(h * jnp.imag(hm[::-1]), axis=0).reshape(M1, M2)
+    mm = lambda a, b: jnp.matmul(a, b, precision=lax.Precision.HIGHEST)
+    w1r, w1i = jnp.asarray(kern._w1r), jnp.asarray(kern._w1i)
+    ar = mm(ur.T, w1r) - mm(ui.T, w1i)  # A[n2, k1] = sum_n1 u[n1,n2] W1[n1,k1]
+    ai = mm(ur.T, w1i) + mm(ui.T, w1r)
+    twr, twi = jnp.asarray(kern._twr), jnp.asarray(kern._twi)  # (n2, k1)
+    br = ar * twr - ai * twi
+    bi = ar * twi + ai * twr
+    w2r, w2i = jnp.asarray(kern._w2r), jnp.asarray(kern._w2i)
+    yr = mm(br.T, w2r) - mm(bi.T, w2i)  # X[k1, k2] = sum_n2 B[n2,k1] W2[n2,k2]
+    yi = mm(br.T, w2i) + mm(bi.T, w2r)
+    return yr.reshape(M), yi.reshape(M)
 
 
 class ShardedChannelizer:
@@ -34,17 +95,37 @@ class ShardedChannelizer:
         self.mesh = mesh
         self.axis = axis
         D = mesh.shape[axis]
-        assert chain.cfg.num_channels % D == 0
         if chain.cfg.emit_spectrum and chain.cfg.spectrum_avg > 0.0:
             from radioframe.ops.spectrum import Spectrum
 
             self._raw_spec = Spectrum(chain.cfg.spectrum_nfft, 0.0)
+        # SINGLE-PASS sharded formulation (r5, VERDICT r4 ask #1): honors
+        # cfg.fuse_single_pass — each shard runs the full-M kernel on its
+        # time slice with in-kernel AGC disabled (module doc). No M % D
+        # constraint (channels are never split) and no per-shard release
+        # guard (the XLA completion falls back to the associative scan
+        # when the rescale bound fails, instead of erroring).
+        self.demod_kernel = None
+        self.one_kernel = None
+        if chain.one_kernel is not None:
+            from radioframe.kernels.channelizer_one import FusedChannelizerOne
+
+            cfg = chain.cfg
+            en = (cfg.enabled_modes if cfg.enabled_modes is not None
+                  else tuple(range(demod_op.SAM + 1)))
+            self.one_kernel = FusedChannelizerOne(
+                cfg.num_channels, cfg.taps_per_channel, cfg.fs_channel,
+                cfg.nfm_deviation_hz, wf_avg=cfg.waterfall_frame_avg,
+                enabled=en, attack_alphas=(),  # AGC completed in XLA
+                interpret=jax.default_backend() == "cpu",
+                dft_precision=cfg.dft_precision, apply_agc=False)
+            return
+        assert chain.cfg.num_channels % D == 0
         # fused demod+AGC back end under sharding (VERDICT r3 ask #2): each
         # device owns M/D channels after the all_to_all, so it runs its own
         # kernel instance sized M/D; per-channel constants/state arrive
         # pre-sliced through the shard_map specs. The dense bank remains the
         # SAM/EMA fallback (chain.demod_kernel is None then).
-        self.demod_kernel = None
         if chain.demod_kernel is not None:
             import jax as _jax
 
@@ -158,8 +239,149 @@ class ShardedChannelizer:
                      "spec": state["spec"]}
         return new_state, audio_fm.T, aux
 
+    def _local_step_one(self, state, wideband, mode):
+        """Per-shard body of the SINGLE-PASS formulation (module doc): the
+        whole-M kernel on the local time slice, then exact cross-shard
+        completion of the AM DC-block and AGC carries on O(M)/audio-rate
+        data. No all_to_all anywhere."""
+        from radioframe.kernels.demod_agc import _DC_POLE
+        from radioframe.pipelines.channelizer import channel_order, native_order
+
+        chain, cfg, ax = self.chain, self.chain.cfg, self.axis
+        kern = self.one_kernel
+        M = cfg.num_channels
+        M1, M2, K = chain.pfb.M1, chain.pfb.M2, chain.pfb.K
+        D = lax.axis_size(ax)
+        d = lax.axis_index(ax)
+        to_n = lambda v: native_order(v, M1, M2)
+        to_c = lambda v: channel_order(v, M1, M2)
+
+        x = wideband[None, :]  # (1, T_loc)
+        T_loc = x.shape[1]
+        F_loc = T_loc // M
+        # K*M-sample halo: one frame MORE than the PFB needs so shards g>0
+        # can rebuild frame -1's channel plane locally. The block carry
+        # stays the standard (K-1)*M PFB tail (state-tree compatible with
+        # the unsharded chain): shard 0's extra frame is zero-padded and
+        # unused — it seeds from the block demod state instead.
+        carry2 = jnp.concatenate([jnp.zeros((1, M), x.dtype), state["pfb"]],
+                                 axis=-1)
+        xp, new_carry2 = causal_halo(x, carry2, K * M, ax)
+        pfb_tail = new_carry2[:, M:]
+        halo = xp[0, : K * M]
+
+        d_st, a_st = state["demod"], state["agc"]
+        mode_n = to_n(mode)
+        y1r, y1i = _pfb_frame_native(halo, kern)
+        is0 = d == 0
+        am_x = jnp.where(is0, to_n(d_st["am_dc"][0]),
+                         jnp.sqrt(y1r * y1r + y1i * y1i))
+        nfm_r = jnp.where(is0, to_n(jnp.real(d_st["nfm_last"])), y1r)
+        nfm_i = jnp.where(is0, to_n(jnp.imag(d_st["nfm_last"])), y1i)
+        z = jnp.zeros((M,), jnp.float32)
+        # am_y (row 1) zero-seeded on EVERY shard — completed below; rows
+        # 4/5 are dead (apply_agc=False leaves them untouched)
+        st_in = jnp.stack([am_x, z, nfm_r, nfm_i, z, z, z])
+
+        cw_word = jnp.full((M,), chain.cw_tone_word, jnp.int32)
+        # per-shard DDS offset: local frame 0 is global frame d*F_loc
+        # (int32 wrap keeps this exact)
+        cw_acc = to_n(d_st["cw_phase"]) + cw_word * (d * jnp.int32(F_loc))
+        rel, al, tgt, mg = chain.agc_bank.per_channel(mode_n)
+        audio_fm, _, wfp, st_out = kern.call_planes(
+            halo[M:][None], jnp.real(x[0]), jnp.imag(x[0]), mode_n, cw_word,
+            cw_acc, rel, al, tgt, mg, st_in)
+
+        # --- AM DC-block completion: affine carry chain + rank-1 fixup ---
+        my_in, am_y_fin = affine_carry_chain(
+            st_out[1], jnp.float32(_DC_POLE ** F_loc),
+            to_n(d_st["am_dc"][1]), ax)
+        dcpow = jnp.asarray(np.float64(_DC_POLE)
+                            ** np.arange(1, F_loc + 1), jnp.float32)
+        audio_fm = audio_fm + jnp.where((mode_n == demod_op.AM)[None, :],
+                                        dcpow[:, None] * my_in[None, :], 0.0)
+
+        # --- AGC in XLA, completed across shards (release env + attack
+        # lpf carries span shard boundaries; the dense-bank math, so this
+        # path also matches the dense chain exactly) --------------------
+        audio_cm = audio_fm.T  # (M, F_loc) native channel-major
+        mag = jnp.abs(audio_cm)
+        env_r, env_fin = sharded_maxdecay_scan(
+            rel, mag, to_n(a_st["env"]), ax, a_table=chain.agc_bank.release)
+        if chain.agc_bank.alpha.any():
+            env, lpf_fin = sharded_affine_scan(
+                al, (1.0 - al)[:, None] * env_r, to_n(a_st["lpf"]), ax,
+                a_table=chain.agc_bank.alpha)
+        else:  # instant attack everywhere: the one-pole is identity
+            env, lpf_fin = env_r, env_fin
+        gain = jnp.minimum(mg[:, None],
+                           tgt[:, None] / jnp.maximum(env, jnp.float32(1e-9)))
+        out_cm = jnp.where((mode_n == demod_op.NFM)[:, None],
+                           audio_cm, audio_cm * gain)
+
+        # native-major rows -> channel-major rows (the composed block swap,
+        # same movement as the unsharded path's output transpose)
+        audio = out_cm.reshape(M1, M2, F_loc).swapaxes(0, 1).reshape(M, F_loc)
+
+        aux = {"channel_power":
+               to_c(lax.psum(st_out[6], ax)) / jnp.float32(F_loc * D)}
+        db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
+        wf = jnp.transpose(db.reshape(-1, M1, M2), (0, 2, 1)).reshape(db.shape)
+        aux["waterfall"] = wf  # (F_loc/avg, M) channel order; roll in step()
+
+        last = lambda v: last_shard_value(v, ax)
+        new_demod = {
+            "cw_phase": d_st["cw_phase"]
+            + jnp.int32(chain.cw_tone_word) * jnp.int32(F_loc) * D,
+            "am_dc": jnp.stack([to_c(last(st_out[0])), to_c(am_y_fin)]),
+            "nfm_last": lax.complex(to_c(last(st_out[2])),
+                                    to_c(last(st_out[3]))),
+            "sam_dc": d_st["sam_dc"], "sam_carrier": d_st["sam_carrier"],
+        }
+        new_agc = {"hist": (), "env": to_c(env_fin), "lpf": to_c(lpf_fin)}
+        new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
+                     "spec": state["spec"]}
+        return new_state, audio, aux
+
+    def _state_specs_one(self):
+        """Single-pass formulation: per-channel state is REPLICATED (every
+        shard holds all M channels), so the tree is unsharded-identical and
+        checkpoints interoperate across mesh sizes."""
+        return {
+            "pfb": P(None, None),
+            "demod": {"cw_phase": P(None), "am_dc": P(None, None),
+                      "nfm_last": P(None), "sam_dc": P(None, None),
+                      "sam_carrier": P(None, None)},
+            "agc": {"hist": (), "env": P(None), "lpf": P(None)},
+            "spec": (),
+        }
+
+    def _step_one(self, state, wideband, mode):
+        ax = self.axis
+        cfg = self.chain.cfg
+        D = self.mesh.shape[ax]
+        assert wideband.shape[-1] % (D * self.chain.min_block) == 0, (
+            f"sharded single-pass block length {wideband.shape[-1]} must be "
+            f"a multiple of D*min_block = {D * self.chain.min_block}")
+        aux_spec = {"channel_power": P(None), "waterfall": P(ax, None)}
+        fn = jax.shard_map(
+            self._local_step_one,
+            mesh=self.mesh,
+            in_specs=(self._state_specs_one(), P(ax), P(None)),
+            out_specs=(self._state_specs_one(), P(None, ax), aux_spec),
+            check_vma=False,
+        )
+        state, audio, aux = fn(state, wideband, mode)
+        # global fftshift outside shard_map (channels are whole per shard
+        # here, but the convention matches the two-kernel path)
+        aux["waterfall"] = jnp.roll(aux["waterfall"],
+                                    cfg.num_channels // 2, axis=-1)
+        return state, audio, aux
+
     def state_specs(self):
         """Public PartitionSpec tree for mesh.place_state (donation hygiene)."""
+        if self.one_kernel is not None:
+            return self._state_specs_one()
         return self._state_specs()
 
     def _state_specs(self):
@@ -176,6 +398,8 @@ class ShardedChannelizer:
         }
 
     def step(self, state, wideband, mode):
+        if self.one_kernel is not None:
+            return self._step_one(state, wideband, mode)
         ax = self.axis
         cfg = self.chain.cfg
         aux_spec = {"channel_power": P(ax)}

@@ -66,37 +66,65 @@ def _shard_prefix_inputs(local_final, axis):
     return g, lax.axis_index(axis)
 
 
-def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time"):
+def _carry_chain(local_final, A, carry, axis, combine):
+    """Generic cross-shard completion chain for a zero-seeded recursion.
+
+    ``local_final`` (C,) is this shard's final value computed with a ZERO
+    entering carry; ``A`` (scalar or (C,)) is the recursion's decay over
+    one shard (a**T_local); ``combine(B_g, A*prev)`` folds the true
+    entering value through one shard (affine: +, max-decay: max). Returns
+    (my_in (C,), block_final (C,)): the TRUE value entering THIS shard and
+    the carry leaving the block — identical on every shard (the D-length
+    chain is recomputed redundantly from one all_gather; D is tiny)."""
+    D = lax.axis_size(axis)
+    if D == 1:
+        return carry, combine(local_final, A * carry)
+    B = lax.all_gather(local_final, axis)  # (D, C)
+    d = lax.axis_index(axis)
+
+    def body(j, ins):
+        return ins.at[j + 1].set(combine(B[j], A * ins[j]))
+
+    ins0 = jnp.zeros((D + 1,) + carry.shape, carry.dtype).at[0].set(carry)
+    ins = lax.fori_loop(0, D, body, ins0)  # ins[D] = next block carry
+    return ins[d], ins[D]
+
+
+def affine_carry_chain(local_final, A, carry, axis: str = "time"):
+    """Cross-shard chain for s[n] = a*s[n-1] + b[n] (see _carry_chain)."""
+    return _carry_chain(local_final, A, carry, axis, lambda b, p: b + p)
+
+
+def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time",
+                          a_table=None):
     """env[n] = max(a*env[n-1], v[n]) across the full time-sharded block.
 
     a_const: static scalar per-sample decay OR a (C,) per-channel decay
     array (e.g. per-mode AGC release constants). v_local (C, T_local);
     carry (C,) is the global env entering the block. Returns
     (env_local (C, T_local), new_carry (C,) replicated).
+
+    ``a_table``: optional STATIC table the runtime coefficients are drawn
+    from (e.g. the per-mode release table) — when the global-rescale bound
+    holds for it at this T, the local scan uses the 3-4x-cheaper
+    constant-coefficient cummax form (ops/scans.maxdecay_scan_const).
     """
+    from radioframe.ops.scans import maxdecay_const_ok, maxdecay_scan_const
+
     C, T = v_local.shape
     ac = jnp.asarray(a_const, v_local.dtype)  # scalar or (C,)
-    a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, v_local.shape)
     apow = ac[..., None] ** (1 + jnp.arange(T, dtype=v_local.dtype))  # (T,) or (C,T)
-    D = lax.axis_size(axis)
     zero = jnp.zeros((C,), v_local.dtype)
-    local_env = maxdecay_scan(a, v_local, zero)  # scan from 0
-    if D == 1:
-        env = jnp.maximum(local_env, carry[:, None] * apow)
-        return env, env[:, -1]
-    V = lax.all_gather(local_env[:, -1], axis)  # (D, C)
-    d = lax.axis_index(axis)
+    if a_table is not None and maxdecay_const_ok(a_table, T):
+        a_ch = ac if ac.ndim else jnp.full((C,), ac, v_local.dtype)
+        local_env = maxdecay_scan_const(a_ch, v_local, zero)
+    else:
+        a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, v_local.shape)
+        local_env = maxdecay_scan(a, v_local, zero)  # scan from 0
     A = ac ** T  # decay over one shard: scalar or (C,)
-    # in_j: env entering shard j; computed identically on every shard
-    def body(j, ins):
-        prev = ins[j]
-        nxt = jnp.maximum(V[j], A * prev)
-        return ins.at[j + 1].set(nxt)
-    ins0 = jnp.zeros((D + 1, C), v_local.dtype).at[0].set(carry)
-    ins = lax.fori_loop(0, D, body, ins0)  # (D+1, C); ins[D] = next carry
-    my_in = ins[d]
+    my_in, fin = _carry_chain(local_env[:, -1], A, carry, axis, jnp.maximum)
     env = jnp.maximum(local_env, my_in[:, None] * apow)
-    return env, ins[D]
+    return env, fin
 
 
 def sharded_biquad(bq, s0, x, axis: str = "time"):
@@ -143,29 +171,29 @@ def sharded_biquad_cascade(cascade, state, x, axis: str = "time"):
     return x, tuple(new_states)
 
 
-def sharded_affine_scan(a_const, b_local, carry, axis: str = "time"):
+def sharded_affine_scan(a_const, b_local, carry, axis: str = "time",
+                        a_table=None):
     """s[n] = a*s[n-1] + b[n] across the time-sharded block.
 
     a_const: static scalar OR (C,) per-channel coefficient array.
-    b_local (C, T_local); carry (C,). Returns (s_local, new_carry)."""
+    b_local (C, T_local); carry (C,). Returns (s_local, new_carry).
+
+    ``a_table``: optional static coefficient table enabling the chunked
+    triangular-matmul local form (ops/scans.affine_scan_const) when its
+    rescale bound holds — same convention as sharded_maxdecay_scan."""
+    from radioframe.ops.scans import affine_const_ok, affine_scan_const
+
     C, T = b_local.shape
     ac = jnp.asarray(a_const, b_local.dtype)  # scalar or (C,)
-    a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, b_local.shape)
     apow = ac[..., None] ** (1 + jnp.arange(T, dtype=b_local.dtype))  # (T,) or (C,T)
-    D = lax.axis_size(axis)
     zero = jnp.zeros((C,), b_local.dtype)
-    local_s = affine_scan(a, b_local, zero)
+    if a_table is not None and affine_const_ok(a_table):
+        a_ch = ac if ac.ndim else jnp.full((C,), ac, b_local.dtype)
+        local_s = affine_scan_const(a_ch, b_local, zero)
+    else:
+        a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, b_local.shape)
+        local_s = affine_scan(a, b_local, zero)
     A = ac ** T
-    if D == 1:
-        s = local_s + carry[:, None] * apow
-        return s, s[:, -1]
-    B = lax.all_gather(local_s[:, -1], axis)  # (D, C)
-    d = lax.axis_index(axis)
-    def body(j, ins):
-        nxt = B[j] + A * ins[j]
-        return ins.at[j + 1].set(nxt)
-    ins0 = jnp.zeros((D + 1, C), b_local.dtype).at[0].set(carry)
-    ins = lax.fori_loop(0, D, body, ins0)
-    my_in = ins[d]
+    my_in, fin = affine_carry_chain(local_s[:, -1], A, carry, axis)
     s = local_s + my_in[:, None] * apow
-    return s, ins[D]
+    return s, fin

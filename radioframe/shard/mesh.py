@@ -40,9 +40,22 @@ def make_hybrid_mesh(channel_per_host: int, time: int, *, init_distributed: bool
     n_hosts = jax.process_count()
     mesh_shape = (n_hosts * channel_per_host, time)
     if n_hosts > 1:
-        devs = mesh_utils.create_hybrid_device_mesh(
-            (channel_per_host, time), (n_hosts, 1), devices=jax.devices())
-        devs = np.asarray(devs).reshape(mesh_shape)
+        try:
+            devs = mesh_utils.create_hybrid_device_mesh(
+                (channel_per_host, time), (n_hosts, 1), devices=jax.devices())
+            devs = np.asarray(devs).reshape(mesh_shape)
+        except (ValueError, AttributeError):
+            # topologies without slice_index attribution (CPU multi-process
+            # — the tools/probe_dcn.py DCN-analog run — and single-slice
+            # pods): group by process_index by hand. Host-major ordering
+            # puts each host's devices contiguous along 'channel', so
+            # 'time' stays inside one host — the same locality the hybrid
+            # helper builds from slice indices. (Found by the r5 2-process
+            # probe: create_hybrid_device_mesh raised "Number of slices 1".)
+            devs = np.asarray(sorted(jax.devices(),
+                                     key=lambda d: (d.process_index, d.id)))
+            devs = devs.reshape(n_hosts, channel_per_host, time) \
+                       .reshape(mesh_shape)
     else:
         devs = np.asarray(jax.devices()[: mesh_shape[0] * mesh_shape[1]]).reshape(mesh_shape)
     return Mesh(devs, ("channel", "time"))

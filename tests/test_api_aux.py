@@ -91,6 +91,46 @@ class TestCheckpointResume:
         np.testing.assert_array_equal(a4, b4)
 
 
+class TestMonitorCheckpoint:
+    """VERDICT r4 ask #7: config 5's stream state (PFB history, demod
+    carries, AGC envelopes) + per-channel modes are resumable through the
+    Monitor API, bit-exactly — mirrors TestCheckpointResume for Radio."""
+
+    def _monitor(self):
+        from radioframe.api.monitor import Monitor
+        from radioframe.pipelines.channelizer import ChannelizerConfig
+
+        M = 16
+        return Monitor(ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, spectrum_avg=0.0))
+
+    def test_bit_exact_stream_resume(self, tmp_path, rng):
+        m = self._monitor()
+        M = m.num_channels
+        T = 16 * m.chain.min_block
+        wide = (rng.standard_normal(4 * T)
+                + 1j * rng.standard_normal(4 * T)).astype(np.complex64)
+        blocks = np.split(wide, 4)
+        m.set_mode_all("am")
+        m.set_mode(3, "nfm")
+        m.process(blocks[0])
+        m.process(blocks[1])
+        ckdir = str(tmp_path / "ck")
+        m.save(ckdir, epoch=2)
+        a3 = m.process(blocks[2])
+        wf3 = m.waterfall()
+        a4 = m.process(blocks[3])
+
+        m2 = self._monitor()
+        assert m2.load(ckdir) == 2
+        assert m2.mode(3) == "nfm" and m2.mode(0) == "am"
+        b3 = m2.process(blocks[2])
+        np.testing.assert_array_equal(a3, b3)
+        np.testing.assert_array_equal(wf3, m2.waterfall())
+        np.testing.assert_array_equal(a4, m2.process(blocks[3]))
+
+
 class TestRadioOnMesh:
     def test_radio_with_sharded_backend(self):
         import jax

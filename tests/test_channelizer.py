@@ -703,6 +703,102 @@ class TestSinglePassChannelizer:
                                       np.asarray(st2["pfb"]))
 
 
+class TestShardedSinglePass:
+    """VERDICT r4 ask #1: the sharded channelizer honors fuse_single_pass —
+    a time-sharded whole-M FusedChannelizerOne per shard with NO
+    all_to_all. AM/NFM lookbacks seed exactly from the K*M halo, the AM
+    DC-block carry completes via an affine chain (rank-1 decay-column
+    fixup), and AGC release/attack/gain complete in XLA across shards.
+    Sharded == unsharded single-pass, streaming, from sample 0 (every
+    cross-shard carry is exact, so no warmup skip is needed)."""
+
+    def _cfg(self, M, **kw):
+        return ChannelizerConfig(
+            fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+            waterfall_from_pfb=True, waterfall_frame_avg=4,
+            fuse_pfb=True, fuse_demod=True, fuse_single_pass=True,
+            enabled_modes=(0, 1, 2, 3), **kw)
+
+    def _run_pair(self, rng, chain, D, n_blocks=2):
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.one_kernel is not None  # honors fuse_single_pass
+        assert not sharded.one_kernel.apply_agc
+        T = D * 2 * chain.min_block
+        mode = jnp.asarray(np.arange(chain.cfg.num_channels) % 4, jnp.int32)
+        wide = _wideband(rng, n_blocks * T)
+        st_u, st_s = chain.init_state(), chain.init_state()
+        step_u, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        for b in np.split(wide, n_blocks):
+            st_u, a_u, x_u = step_u(st_u, jnp.asarray(b), mode)
+            st_s, a_s, x_s = step_s(st_s, jnp.asarray(b), mode)
+            np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u),
+                                       atol=2e-4)
+            np.testing.assert_allclose(np.asarray(x_s["waterfall"]),
+                                       np.asarray(x_u["waterfall"]), atol=1e-2)
+            np.testing.assert_allclose(np.asarray(x_s["channel_power"]),
+                                       np.asarray(x_u["channel_power"]),
+                                       rtol=1e-4)
+        return st_u, st_s
+
+    @pytest.mark.parametrize("D", [1, 4, 8])
+    def test_matches_unsharded_single_pass(self, rng, D):
+        chain = ChannelizerChain(self._cfg(64))
+        st_u, st_s = self._run_pair(rng, chain, D)
+        np.testing.assert_array_equal(np.asarray(st_s["demod"]["cw_phase"]),
+                                      np.asarray(st_u["demod"]["cw_phase"]))
+        for leaf in ("am_dc", "nfm_last"):
+            np.testing.assert_allclose(np.asarray(st_s["demod"][leaf]),
+                                       np.asarray(st_u["demod"][leaf]),
+                                       atol=2e-4)
+        for leaf in ("env", "lpf"):
+            np.testing.assert_allclose(np.asarray(st_s["agc"][leaf]),
+                                       np.asarray(st_u["agc"][leaf]),
+                                       atol=2e-4)
+        np.testing.assert_allclose(np.asarray(st_s["pfb"]),
+                                   np.asarray(st_u["pfb"]), atol=1e-6)
+
+    def test_attack_parity_sharded_single_pass(self, rng):
+        """Nonzero per-mode attack constants: the XLA cross-shard attack
+        completion (sharded_affine_scan, mixed instant/smoothed channels)
+        == the in-kernel triangular-matmul attack of the unsharded kernel."""
+        from radioframe.core.config import AgcConfig
+
+        agc_modes = (
+            AgcConfig(release_s=0.5, attack_s=0.002),   # SSB
+            AgcConfig(release_s=0.25, attack_s=0.001),  # CW
+            AgcConfig(release_s=0.8, attack_s=0.005),   # AM
+            AgcConfig(),                                # NFM (bypassed)
+            AgcConfig(release_s=0.5, attack_s=0.002),   # LSB
+            AgcConfig(release_s=0.8, attack_s=0.005),   # SAM
+        )
+        chain = ChannelizerChain(self._cfg(64, agc_modes=agc_modes))
+        assert chain.agc_bank.alpha.any()
+        st_u, st_s = self._run_pair(rng, chain, 4)
+        np.testing.assert_allclose(np.asarray(st_s["agc"]["lpf"]),
+                                   np.asarray(st_u["agc"]["lpf"]), atol=2e-4)
+
+    def test_state_tree_matches_unsharded(self, rng):
+        """The single-pass sharded state tree is structurally identical to
+        the unsharded chain's (replicated leaves) — checkpoints and the
+        unsharded path interoperate mid-stream."""
+        chain = ChannelizerChain(self._cfg(64))
+        mesh = jax.make_mesh((4,), ("dev",), devices=jax.devices()[:4])
+        sharded = ShardedChannelizer(chain, mesh)
+        mode = jnp.asarray(np.arange(64) % 4, jnp.int32)
+        T = 4 * 2 * chain.min_block
+        wide = jnp.asarray(_wideband(rng, T))
+        st = chain.init_state()
+        st_s, _, _ = jax.jit(sharded.step)(st, wide, mode)
+        # resume the SHARDED state through the UNSHARDED chain, via a host
+        # round trip (exactly what a checkpoint restore does) to drop the
+        # mesh placement the shard_map output carries
+        st_host = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), st_s)
+        st_u, a_u, _ = jax.jit(chain.step)(st_host, wide, mode)
+        st_s2, a_s, _ = jax.jit(sharded.step)(st_s, wide, mode)
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=2e-4)
+
+
 class TestCompiledLaneGate:
     """Compiled (non-interpret) fused kernels require num_channels % 128
     == 0 — smaller M lowers to lane-merging relayouts Mosaic rejects,
