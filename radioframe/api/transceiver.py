@@ -57,7 +57,19 @@ class Transceiver:
         self.rx_cfg, self.tx_cfg = rx_cfg, tx_cfg
         C = rx_cfg.channels
         self.chain = DuplexChain(rx_cfg, tx_cfg)
-        self._step = jax.jit(self.chain.step)
+
+        # plane-splitting step (same convention as Radio/Monitor, r4/r5):
+        # complex64 never crosses the host boundary — IQ arrives as f32
+        # planes, the TX IQ leaves as f32 planes, the complex views live
+        # only inside the one jitted program (axon transport has no complex
+        # host<->device path)
+        def _step_planes(state, rx_r, rx_i, mic, rxw, modes, txw, tx_modes):
+            st, rx_audio, tx_iq, aux = self.chain.step(
+                state, jax.lax.complex(rx_r, rx_i), mic, rxw, modes, txw,
+                tx_modes)
+            return st, rx_audio, jnp.real(tx_iq), jnp.imag(tx_iq), aux
+
+        self._step = jax.jit(_step_planes)
         # jit the state build: eager complex64 zeros dispatch op-by-op,
         # which some transports (axon tunnel) cannot execute (r4)
         self.state = jax.jit(lambda: self.chain.init_state(C))()
@@ -153,17 +165,19 @@ class Transceiver:
 
         tx_modes = jnp.asarray(np.where(self._modes == demod_op.SAM,
                                         demod_op.AM, self._modes).astype(np.int32))
-        iq = jnp.asarray(rx_iq, jnp.complex64)
+        iq = np.asarray(rx_iq)
         if iq.ndim == 1:
             iq = iq[None, :]
+        rx_r = jnp.asarray(np.ascontiguousarray(iq.real, np.float32))
+        rx_i = jnp.asarray(np.ascontiguousarray(iq.imag, np.float32))
         mic = jnp.asarray(mic_audio, jnp.float32)
         if mic.ndim == 1:
             mic = jnp.broadcast_to(mic[None, :], (C, mic.shape[0]))
-        self.state, rx_audio, tx_iq, aux = self._step(
-            self.state, iq, mic, rx_words, modes, tx_words, tx_modes)
+        self.state, rx_audio, tx_r, tx_i, aux = self._step(
+            self.state, rx_r, rx_i, mic, rx_words, modes, tx_words, tx_modes)
         self.last_aux = aux
         rx_audio = np.asarray(rx_audio)
-        tx_iq = np.asarray(tx_iq)
+        tx_iq = (np.asarray(tx_r) + 1j * np.asarray(tx_i)).astype(np.complex64)
         if self._ptt:
             rx_audio = np.zeros_like(rx_audio)
         else:

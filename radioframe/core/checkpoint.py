@@ -49,6 +49,48 @@ def _migrate_v1_to_v2(state):
 
 MIGRATIONS = {1: _migrate_v1_to_v2}
 
+# Plane-safe host/device crossings (r5): the axon TPU transport has no
+# complex64 host<->device path, so checkpoint save fetches complex leaves
+# as f32 planes through one jitted program (combined to numpy complex on
+# the host — the on-disk format is unchanged) and restore re-places them
+# through jitted lax.complex. Non-complex leaves use the normal path.
+_REIM = None
+_CPLX = None
+
+
+def _fetch_host(state):
+    global _REIM
+    import jax.numpy as jnp
+
+    if _REIM is None:
+        _REIM = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))
+
+    def one(x):
+        if isinstance(x, jax.Array) and np.issubdtype(x.dtype, np.complexfloating):
+            re, im = _REIM(x)
+            return (np.asarray(re) + 1j * np.asarray(im)).astype(x.dtype)
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree.map(one, state)
+
+
+def _place_device(state):
+    global _CPLX
+
+    if _CPLX is None:
+        _CPLX = jax.jit(jax.lax.complex)
+
+    def one(x):
+        if np.issubdtype(np.asarray(x).dtype, np.complexfloating) \
+                and not isinstance(x, jax.Array):
+            xn = np.asarray(x)
+            f = np.float32 if xn.dtype == np.complex64 else np.float64
+            return _CPLX(np.ascontiguousarray(xn.real, f),
+                         np.ascontiguousarray(xn.imag, f))
+        return x
+
+    return jax.tree.map(one, state)
+
 
 class StreamCheckpointer:
     """Epoch-numbered state snapshots under a directory, schema-versioned."""
@@ -63,7 +105,7 @@ class StreamCheckpointer:
 
     def save(self, epoch: int, state, version: int = CURRENT_VERSION) -> str:
         path = self._path(epoch)
-        payload = {"version": np.int32(version), "state": state}
+        payload = {"version": np.int32(version), "state": _fetch_host(state)}
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
         return path
@@ -89,11 +131,17 @@ class StreamCheckpointer:
         ``like`` — settings.c-style version migration.
         """
         path = self._path(epoch)
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+        # bare shape/dtype structs (no sharding): restore lands on the HOST
+        # and complex leaves re-enter the device via _place_device — orbax
+        # must not device_put complex itself (no such transfer on axon)
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), like)
         vers_abs = jax.ShapeDtypeStruct((), np.int32)
         try:
             payload = self._ckptr.restore(path, {"version": vers_abs, "state": abstract})
-            return payload["state"]
+            # complex leaves re-enter the device through jitted lax.complex
+            # (plane-safe on transports without complex transfers, r5)
+            return _place_device(payload["state"])
         except (ValueError, KeyError, TypeError):
             pass  # layout mismatch: older schema — raw-restore and migrate
         raw = self._ckptr.restore(path)
@@ -110,4 +158,5 @@ class StreamCheckpointer:
         # a template-free orbax restore returns lists for tuples — rebuild
         # with `like`'s structure (tuple-vs-list is not a schema difference)
         st = jax.tree.unflatten(jax.tree.structure(like), jax.tree.leaves(st))
-        return jax.tree.map(lambda ref, x: np.asarray(x, dtype=ref.dtype), like, st)
+        return _place_device(jax.tree.map(
+            lambda ref, x: np.asarray(x, dtype=ref.dtype), like, st))

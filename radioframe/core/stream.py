@@ -29,9 +29,24 @@ class BlockStream:
         self._step = jax.jit(step, donate_argnums=0) if donate else jax.jit(step)
         self.state = state
         self._device = device or jax.devices()[0]
+        self._to_complex = jax.jit(jax.lax.complex)
 
     def _put(self, block):
-        return jax.device_put(jnp.asarray(block), self._device)
+        def put_one(b):
+            if not isinstance(b, jax.Array) and np.iscomplexobj(b):
+                # plane-transfer convention (same as bench.py / the APIs):
+                # complex64 host->device transfers are unimplemented on some
+                # transports (axon tunnel) — ship f32 I/Q planes and form
+                # the complex view on device in one jitted program
+                b = np.asarray(b)
+                wr = jax.device_put(np.ascontiguousarray(b.real, np.float32),
+                                    self._device)
+                wi = jax.device_put(np.ascontiguousarray(b.imag, np.float32),
+                                    self._device)
+                return self._to_complex(wr, wi)
+            return jax.device_put(jnp.asarray(b), self._device)
+
+        return jax.tree.map(put_one, block)
 
     def run(self, source, *args, collect: bool = True):
         """Iterate ``source`` blocks through the step; returns (outs, auxs)."""

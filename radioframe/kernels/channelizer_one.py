@@ -38,8 +38,8 @@ from radioframe.kernels.demod_agc import (agc_prefix_consts,
                                           demod_agc_tile,
                                           demod_pre_tables,
                                           release_decays_ok)
-from radioframe.kernels.pfb_dft import (_dft_consts, _mm_p,
-                                        fused_channels_ok)
+from radioframe.kernels.pfb_dft import (_dft_consts, batched_dft_consts,
+                                        dft_tile, fused_channels_ok)
 from radioframe.ops import demod as demod_op
 
 
@@ -77,17 +77,10 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
         ur = ur + w * fr[K - 1 - t: K - 1 - t + TF]
         ui = ui + w * fi[K - 1 - t: K - 1 - t + TF]
 
-    # ---- M-point DFT, Cooley-Tukey M1 x M2 (see pfb_dft.py) -------------
-    _mm = _mm_p(prec)
-    w1r, w1i = w1r_ref[...], w1i_ref[...]
-    ar = _mm(ur, w1r) - _mm(ui, w1i)   # (TF, n2, k1)
-    ai = _mm(ur, w1i) + _mm(ui, w1r)
-    twr, twi = twr_ref[...], twi_ref[...]
-    br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
-    w2r, w2i = w2r_ref[...], w2i_ref[...]
-    yr = _mm(br, w2r) - _mm(bi, w2i)   # (TF, k1, k2) — native channel order
-    yi = _mm(br, w2i) + _mm(bi, w2r)
+    # ---- M-point DFT, Cooley-Tukey M1 x M2 in the MXU-efficient batched
+    # orientation (pfb_dft.dft_tile, r5) -> native (TF, k1, k2) ------------
+    yr, yi = dft_tile(prec, ur, ui, w1r_ref[...], w1i_ref[...],
+                      twr_ref[...], twi_ref[...], w2r_ref[...], w2i_ref[...])
 
     # ---- demod bank + AGC + waterfall, straight from registers ----------
     audio, wf = demod_agc_tile(
@@ -216,6 +209,8 @@ class FusedChannelizerOne:
         tl = jnp.stack([jnp.real(t2), jnp.imag(t2)]).astype(jnp.float32)
         ltri, atri, dcol = agc_prefix_consts(TF, self.attack_alphas)
         n_a = atri.shape[0]
+        (_, _, bw1r, bw1i, twtr, twti, w2r, w2i) = \
+            batched_dft_consts(M, TF)  # MXU-efficient DFT orientation (r5)
         # per-block tile-constant tables (see demod_agc_tile ``pre``): the
         # single-pass kernel is compute-bound, so the rel**f1 pow array and
         # the CW fine-tone trig arrays are paid ONCE here instead of per
@@ -242,9 +237,9 @@ class FusedChannelizerOne:
                 pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
                 whole3((2, K - 1, M1, M2)),
                 whole3((K, M1, M2)),
-                whole3((M1, M1)), whole3((M1, M1)),
+                whole3((TF, M1, M1)), whole3((TF, M1, M1)),
                 whole3((M2, M2)), whole3((M2, M2)),
-                whole3((M2, M1)), whole3((M2, M1)),
+                whole3((1, M1, M2)), whole3((1, M1, M2)),
                 whole3((1, M1, M2)), whole3((1, M1, M2)),
                 whole3((1, M1, M2)), whole3((1, M1, M2)),
                 whole3((1, M1, M2)), whole3((1, M1, M2)),
@@ -278,8 +273,8 @@ class FusedChannelizerOne:
                 bytes_accessed=3 * F * M * 4,
                 transcendentals=3 * F * M,
             ),
-        )(xr, xi, tl, c(h3), c(self._w1r), c(self._w1i), c(self._w2r),
-          c(self._w2i), c(self._twr), c(self._twi),
+        )(xr, xi, tl, c(h3), c(bw1r), c(bw1i), c(w2r),
+          c(w2i), c(twtr), c(twti),
           cmap(mode, jnp.int32), cmap(cw_word, jnp.int32),
           cmap(cw_acc, jnp.int32), cmap(rel, jnp.float32),
           cmap(al, jnp.float32), cmap(tgt, jnp.float32),

@@ -96,9 +96,67 @@ def _mm_p(prec):
     return mm
 
 
+def batched_dft_consts(M: int, TF: int):
+    """Host constants for dft_tile's TF-batched orientation (r5).
+
+    W1^T broadcast to (TF, k1, n1) for the batched stage-1 matmul, TW^T as
+    (1, k1, n2), W2 as (n2, k2). Returns (M1, M2, bw1r, bw1i, twtr, twti,
+    w2r, w2i) ready for jnp.asarray."""
+    M1, M2, w1r, w1i, w2r, w2i, twr, twi = _dft_consts(M)
+    c = lambda a: np.ascontiguousarray(a, np.float32)
+    bw1r = c(np.broadcast_to(w1r.T, (TF, M1, M1)))
+    bw1i = c(np.broadcast_to(w1i.T, (TF, M1, M1)))
+    twtr = c(twr.T)[None]  # (1, k1, n2)
+    twti = c(twi.T)[None]
+    return M1, M2, bw1r, bw1i, twtr, twti, w2r, w2i
+
+
+def dft_tile(prec, ur, ui, bw1r, bw1i, twtr, twti, w2r, w2i):
+    """One frame-tile M-point Cooley-Tukey DFT in the MXU-efficient
+    orientation (r5 speed-of-light round 3; tools/probe_pfbdft_stages.py).
+
+    The r3/r4 orientation contracted (TF*n2 rows, n1=32) x (n1, k1=32):
+    32 output columns leave 3/4 of the MXU lanes idle, and the probe showed
+    the DFT stage alone cost 0.97 of the kernel's 1.07 ms/block. Here
+    stage 1 runs as a TF-BATCHED (k1, n1) x (n1, n2) matmul producing
+    (TF, k1, n2) — output lanes n2=128 (full width) — the twiddle applies
+    in that layout, and stage 2 contracts the MINOR axis n2 at full depth
+    straight into native (TF, k1, k2). No relayouts anywhere; measured
+    0.971 -> 0.637 ms/block for the bare PFB+DFT kernel (1.52x).
+
+    ``prec``: lax.Precision or "b3" (manual bf16x3 split — see _mm_p doc).
+    """
+    bdims = (((2,), (1,)), ((0,), (0,)))  # batched stage 1
+    mdims = (((2,), (0,)), ((), ()))      # minor-axis stage 2
+    if prec == "b3":
+        def mk(dims):
+            def mm(a, b):
+                a_hi, a_lo = _bf16_split(a)
+                b_hi, b_lo = _bf16_split(b)
+                d = lambda x, y: lax.dot_general(
+                    x, y, dims, preferred_element_type=jnp.float32)
+                return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+            return mm
+        bmm, mm2 = mk(bdims), mk(mdims)
+    else:
+        bmm = lambda a, b: lax.dot_general(a, b, bdims, precision=prec,
+                                           preferred_element_type=jnp.float32)
+        mm2 = lambda a, b: lax.dot_general(a, b, mdims, precision=prec,
+                                           preferred_element_type=jnp.float32)
+    # A[k1, n2] = sum_n1 W1[n1, k1] u[n1, n2]
+    ar = bmm(bw1r, ur) - bmm(bw1i, ui)  # (TF, k1, n2)
+    ai = bmm(bw1r, ui) + bmm(bw1i, ur)
+    br = ar * twtr - ai * twti
+    bi = ar * twti + ai * twtr
+    # X[k1, k2] = sum_n2 B[k1, n2] W2[n2, k2]
+    yr = mm2(br, w2r) - mm2(bi, w2i)    # (TF, k1, k2) — native order
+    yi = mm2(br, w2i) + mm2(bi, w2r)
+    return yr, yi
+
+
 def _kernel(TF, K, M1, M2, prec,
             xr_ref, xi_ref, tl_ref, h_ref,
-            w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
+            bw1r_ref, bw1i_ref, w2r_ref, w2i_ref, twtr_ref, twti_ref,
             yr_ref, yi_ref, hr_ref, hi_ref):
     i = pl.program_id(0)
 
@@ -120,21 +178,9 @@ def _kernel(TF, K, M1, M2, prec,
         ur = ur + w * fr[K - 1 - t: K - 1 - t + TF]
         ui = ui + w * fi[K - 1 - t: K - 1 - t + TF]
 
-    # M-point DFT, Cooley-Tukey M1 x M2 (n = M2*n1 + n2, k = M1*k2 + k1):
-    # both contractions run over axis 1 via dot_general — values stay 3D
-    # with a full-lane (M2 or M1-lane) minor dim, no in-kernel reshapes
-    _mm = _mm_p(prec)
-    w1r, w1i = w1r_ref[...], w1i_ref[...]
-    # A[n2, k1] = sum_n1 u[n1, n2] W1[n1, k1]
-    ar = _mm(ur, w1r) - _mm(ui, w1i)   # (TF, n2, k1)
-    ai = _mm(ur, w1i) + _mm(ui, w1r)
-    twr, twi = twr_ref[...], twi_ref[...]  # (n2, k1)
-    br = ar * twr - ai * twi
-    bi = ar * twi + ai * twr
-    w2r, w2i = w2r_ref[...], w2i_ref[...]
-    # X[k2, k1] = sum_n2 B[n2, k1] W2[n2, k2]
-    yr_ref[...] = _mm(br, w2r) - _mm(bi, w2i)  # (TF, k1, k2)
-    yi_ref[...] = _mm(br, w2i) + _mm(bi, w2r)
+    yr_ref[...], yi_ref[...] = dft_tile(
+        prec, ur, ui, bw1r_ref[...], bw1i_ref[...], twtr_ref[...],
+        twti_ref[...], w2r_ref[...], w2i_ref[...])
 
 
 class FusedPfbDft:
@@ -239,6 +285,7 @@ class FusedPfbDft:
         kern = functools.partial(_kernel, TF, K, M1, M2, self._prec)
         c = lambda a: jnp.asarray(a)
         h3 = self._h.reshape(K, M1, M2)
+        (_, _, bw1r, bw1i, twtr, twti, w2r, w2i) = batched_dft_consts(M, TF)
         yr, yi = pl.pallas_call(
             kern,
             grid=(grid,),
@@ -247,12 +294,12 @@ class FusedPfbDft:
                 pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
                 pl.BlockSpec((2, K - 1, M1, M2), lambda i: (0, 0, 0, 0)),
                 pl.BlockSpec((K, M1, M2), lambda i: (0, 0, 0)),
-                pl.BlockSpec((M1, M1), lambda i: (0, 0)),
-                pl.BlockSpec((M1, M1), lambda i: (0, 0)),
+                pl.BlockSpec((TF, M1, M1), lambda i: (0, 0, 0)),
+                pl.BlockSpec((TF, M1, M1), lambda i: (0, 0, 0)),
                 pl.BlockSpec((M2, M2), lambda i: (0, 0)),
                 pl.BlockSpec((M2, M2), lambda i: (0, 0)),
-                pl.BlockSpec((M2, M1), lambda i: (0, 0)),
-                pl.BlockSpec((M2, M1), lambda i: (0, 0)),
+                pl.BlockSpec((1, M1, M2), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, M1, M2), lambda i: (0, 0, 0)),
             ],
             out_specs=[pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
                        pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0))],
@@ -270,8 +317,8 @@ class FusedPfbDft:
                 bytes_accessed=4 * F * M * 4,
                 transcendentals=0,
             ),
-        )(xr, xi, tl, c(h3), c(self._w1r), c(self._w1i),
-          c(self._w2r), c(self._w2i), c(self._twr), c(self._twi))
+        )(xr, xi, tl, c(h3), c(bw1r), c(bw1i),
+          c(w2r), c(w2i), c(twtr), c(twti))
 
         # kernel emits (F, k1, k2); flat channel index is k = M1*k2 + k1
         if native:  # free row-major flatten: column r = channel chan_perm[r]

@@ -20,6 +20,81 @@ if not os.environ.get("RADIOFRAME_TEST_TPU"):
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# Plane-transfer jit conventions (VERDICT r4 ask #3; SURVEY §4.2 #5).
+#
+# The axon TPU transport cannot move complex64 across the host boundary or
+# dispatch complex ops op-by-op — the proven convention (bench.py,
+# tools/verify_tpu.py, the hardened APIs) is: f32 I/Q planes across the
+# boundary, ONE jitted program, complex formed/split on device. These
+# helpers apply that convention to test call sites so the same tests run
+# unmodified on CPU and on the real chip:
+#
+#   step = jwrap(chain.step)        # jit whose complex args/results cross
+#   st, audio, aux = step(st, iq, words, mode)   # ... as f32 planes
+#   out = jrun(fn, *args)           # one-shot form
+#
+# Complex pytree leaves are split host-side into {"__c_re", "__c_im"}
+# marker dicts, reassembled with lax.complex inside the jitted program,
+# split again on the way out, and joined to numpy complex on the host.
+# f32/int leaves pass through untouched, so CPU behavior is identical.
+# ---------------------------------------------------------------------------
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _is_marker(x):
+    return isinstance(x, dict) and "__c_re" in x
+
+
+def _split_host(x):
+    if hasattr(x, "dtype") and np.iscomplexobj(x):
+        xn = np.asarray(x)
+        return {"__c_re": np.ascontiguousarray(xn.real, np.float32),
+                "__c_im": np.ascontiguousarray(xn.imag, np.float32)}
+    return x
+
+
+def _join_host(x):
+    if _is_marker(x):
+        return np.asarray(x["__c_re"]) + 1j * np.asarray(x["__c_im"])
+    return x
+
+
+def jwrap(fn):
+    """jit with plane-crossing I/O for complex leaves (module note above).
+
+    The inner jit caches across calls (stable arg structure -> no
+    retrace), so this is a drop-in for ``jax.jit(fn)`` at test call sites
+    — including streaming loops that thread returned state back in."""
+
+    def inner(marked_args, marked_kwargs):
+        join = lambda m: (jax.lax.complex(jnp.asarray(m["__c_re"]),
+                                          jnp.asarray(m["__c_im"]))
+                          if _is_marker(m) else m)
+        args = jax.tree.map(join, marked_args, is_leaf=_is_marker)
+        kwargs = jax.tree.map(join, marked_kwargs, is_leaf=_is_marker)
+        out = fn(*args, **kwargs)
+        return jax.tree.map(
+            lambda o: {"__c_re": jnp.real(o), "__c_im": jnp.imag(o)}
+            if jnp.iscomplexobj(o) else o, out)
+
+    jitted = jax.jit(inner)
+
+    def call(*args, **kwargs):
+        marked = jax.tree.map(_split_host, tuple(args))
+        marked_kw = jax.tree.map(_split_host, kwargs)
+        out = jitted(marked, marked_kw)
+        return jax.tree.map(_join_host, out, is_leaf=_is_marker)
+
+    return call
+
+
+def jrun(fn, *args, **kwargs):
+    """One-shot ``jwrap(fn)(*args)`` for single comparisons."""
+    return jwrap(fn)(*args, **kwargs)
+
 
 def pytest_addoption(parser):
     parser.addoption("--runslow", action="store_true", default=False,
@@ -35,6 +110,24 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RADIOFRAME_TEST_TPU"):
+        # the real-TPU environment has ONE chip; multi-device mesh tests
+        # (sharding equality, RDMA halos, DCN analogs) need the 8-device
+        # CPU mesh and are skipped here with an explicit reason so the
+        # on-TPU run enumerates them instead of erroring (VERDICT r4 #3)
+        import re
+
+        import jax as _jax
+
+        if len(_jax.devices()) < 8:
+            needs_mesh = re.compile(r"shard|rdma|mesh|dcn|pipelined|subset_matches_full",
+                                    re.IGNORECASE)
+            skip_mesh = pytest.mark.skip(
+                reason="needs a multi-device mesh (1 TPU chip here; covered "
+                       "by the 8-device CPU-mesh suite)")
+            for item in items:
+                if needs_mesh.search(item.nodeid):
+                    item.add_marker(skip_mesh)
     if config.getoption("--runslow") or os.environ.get("RADIOFRAME_RUNSLOW"):
         return
     skip = pytest.mark.skip(reason="slow: pass --runslow (or RADIOFRAME_RUNSLOW=1)")

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.core.config import DEFAULT_AGC_MODES, AgcConfig, RxConfig
 from radioframe.golden import model as G
@@ -19,7 +20,7 @@ class TestSlidingMax:
     def test_vs_naive(self, rng, W):
         C, T = 3, 200  # W may exceed T (streaming history case)
         xp = rng.standard_normal((C, T + W - 1)).astype(np.float32)
-        got = np.asarray(agc_op.sliding_max(jnp.asarray(xp), T, W))
+        got = np.asarray(jrun(lambda xp: agc_op.sliding_max(xp, T, W), xp))
         want = np.stack([[xp[c, t : t + W].max() for t in range(T)] for c in range(C)])
         np.testing.assert_array_equal(got, want)
 
@@ -61,8 +62,8 @@ class TestAgcBank:
         C, T = 6, 500
         mode = np.arange(C, dtype=np.int32)  # one channel per mode
         x = rng.standard_normal((C, T)).astype(np.float32)
-        y, _, gain = jax.jit(bank.apply)(bank.init_state(C), jnp.asarray(x),
-                                         jnp.asarray(mode))
+        y, _, gain = jrun(lambda x, m: bank.apply(bank.init_state(C), x, m),
+                          x, mode)
         for c in range(C):
             k = mode[c]
             want, _, _ = G.agc_full(
@@ -78,11 +79,13 @@ class TestAgcBank:
         C, T = 6, 600
         mode = jnp.asarray(np.arange(C) % 6, jnp.int32)
         x = rng.standard_normal((C, T)).astype(np.float32)
-        whole, _, _ = bank.apply(bank.init_state(C), jnp.asarray(x), mode)
-        st = bank.init_state(C)
+        whole, _, _ = jrun(lambda x, m: bank.apply(bank.init_state(C), x, m),
+                           x, mode)
+        st = jrun(lambda: bank.init_state(C))
+        step = jwrap(bank.apply)
         outs = []
         for blk in np.split(x, 3, axis=-1):
-            y, st, _ = bank.apply(st, jnp.asarray(blk), mode)
+            y, st, _ = step(st, blk, mode)
             outs.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(outs, -1), np.asarray(whole), atol=1e-6)
 
@@ -93,8 +96,9 @@ class TestAgcBank:
         T = 300
         x = np.zeros((1, T), np.float32)
         x[0, 10] = 1.0
-        mode = jnp.zeros((1,), jnp.int32)
-        _, _, gain = bank.apply(bank.init_state(1), jnp.asarray(x), mode)
+        mode = np.zeros((1,), np.int32)
+        _, _, gain = jrun(lambda x, m: bank.apply(bank.init_state(1), x, m),
+                          x, mode)
         g = np.asarray(gain)[0]
         hang = agc_op.hang_samples(0.05, fs)  # 50 samples
         # flat during the hang window after the peak
@@ -111,8 +115,9 @@ class TestAgcBank:
         T = 400
         x = np.full((1, T), 0.01, np.float32)
         x[0, 200:] = 1.0
-        mode = jnp.zeros((1,), jnp.int32)
-        _, _, gain = bank.apply(bank.init_state(1), jnp.asarray(x), mode)
+        mode = np.zeros((1,), np.int32)
+        _, _, gain = jrun(lambda x, m: bank.apply(bank.init_state(1), x, m),
+                          x, mode)
         g = np.asarray(gain)[0]
         # instant attack would snap gain to ~1 at the step sample; with
         # attack smoothing it is still far above its settled value there

@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 from scipy import signal
 
 from radioframe.ops.biquad import Biquad, BiquadCascade
@@ -13,7 +14,7 @@ def test_single_section_vs_scipy(rng):
     sos = signal.butter(2, 0.2, output="sos")  # one section
     bq = Biquad(sos[0, :3], sos[0, 3:])
     x = rng.standard_normal((3, 500)).astype(np.float32)
-    y, _ = jax.jit(bq)(bq.init_state(3), jnp.asarray(x))
+    y, _ = jrun(lambda x: bq(bq.init_state(3), x), x)
     for c in range(3):
         ref = signal.sosfilt(sos, x[c].astype(np.float64))
         np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-4)
@@ -23,7 +24,7 @@ def test_cascade_vs_scipy(rng):
     sos = signal.butter(6, [0.05, 0.3], btype="band", output="sos")
     casc = BiquadCascade(sos)
     x = rng.standard_normal((2, 800)).astype(np.float32)
-    y, _ = jax.jit(casc)(casc.init_state(2), jnp.asarray(x))
+    y, _ = jrun(lambda x: casc(casc.init_state(2), x), x)
     for c in range(2):
         ref = signal.sosfilt(sos, x[c].astype(np.float64))
         np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-3)
@@ -34,11 +35,12 @@ def test_streaming_state(rng):
     sos = signal.butter(4, 0.1, output="sos")
     casc = BiquadCascade(sos)
     x = rng.standard_normal((1, 600)).astype(np.float32)
-    whole, _ = casc(casc.init_state(1), jnp.asarray(x))
-    st = casc.init_state(1)
+    whole, _ = jrun(lambda x: casc(casc.init_state(1), x), x)
+    st = jrun(lambda: casc.init_state(1))
+    step = jwrap(casc)
     outs = []
     for b in np.split(x, 3, axis=-1):
-        y, st = casc(st, jnp.asarray(b))
+        y, st = step(st, b)
         outs.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(outs, -1), np.asarray(whole), atol=1e-5)
 
@@ -71,8 +73,8 @@ class TestMicEq:
         tx0, tx1 = self._tx(()), self._tx(self.BANDS)
         w = jnp.zeros((2,), jnp.int32)
         mode = jnp.asarray([demod_op.AM, demod_op.AM], jnp.int32)  # linear mod
-        _, iq0 = tx0.step(tx0.init_state(2), jnp.asarray(audio), w, mode)
-        _, iq1 = tx1.step(tx1.init_state(2), jnp.asarray(audio), w, mode)
+        _, iq0 = jrun(lambda a: tx0.step(tx0.init_state(2), a, w, mode), audio)
+        _, iq1 = jrun(lambda a: tx1.step(tx1.init_state(2), a, w, mode), audio)
         # AM: iq = 1 + depth*a -> recover the speech-path signal
         a0 = (np.real(np.asarray(iq0)) - 1.0) / 0.9
         a1 = (np.real(np.asarray(iq1)) - 1.0) / 0.9
@@ -117,8 +119,8 @@ class TestNfmDeemphasis:
         iq = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))).astype(np.complex64)
         words = jnp.asarray(nco.freq_word(np.linspace(-50e3, 50e3, C), 192e3))
         mode = jnp.asarray([demod_op.SSB, demod_op.NFM, demod_op.AM, demod_op.NFM], jnp.int32)
-        _, a0, _ = jax.jit(ch0.step)(ch0.init_state(C), jnp.asarray(iq), words, mode)
-        _, a1, _ = jax.jit(ch1.step)(ch1.init_state(C), jnp.asarray(iq), words, mode)
+        _, a0, _ = jrun(lambda iq: ch0.step(ch0.init_state(C), iq, words, mode), iq)
+        _, a1, _ = jrun(lambda iq: ch1.step(ch1.init_state(C), iq, words, mode), iq)
         a0, a1 = np.asarray(a0), np.asarray(a1)
         sos = deemphasis_sos(531e-6, 48_000.0)
         for c, m in enumerate([0, 3, 2, 3]):

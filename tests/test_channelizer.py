@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.diag.metrics import audio_snr_db
 from radioframe.golden import model as G
@@ -27,7 +28,7 @@ class TestPfbOp:
         M, K = 16, 8
         op = PfbChannelizer(M, K)
         x = _wideband(rng, 64 * M)
-        y, _ = jax.jit(op)(op.init_state(1), jnp.asarray(x[None, :]))
+        y, _ = jrun(lambda x: op(op.init_state(1), x), x[None, :])
         proto = FD.pfb_prototype_taps(M, K)
         ref = G.pfb_channelize(x.astype(np.complex128), M, proto)  # (F, M)
         np.testing.assert_allclose(np.asarray(y)[0], ref.T, atol=1e-4)
@@ -36,11 +37,12 @@ class TestPfbOp:
         M, K = 8, 4
         op = PfbChannelizer(M, K)
         x = _wideband(rng, 96 * M)
-        whole, _ = op(op.init_state(1), jnp.asarray(x[None, :]))
-        st = op.init_state(1)
+        whole, _ = jrun(lambda x: op(op.init_state(1), x), x[None, :])
+        st = jrun(lambda: op.init_state(1))
+        step = jwrap(op)
         outs = []
         for blk in np.split(x, 3):
-            y, st = op(st, jnp.asarray(blk[None, :]))
+            y, st = step(st, blk[None, :])
             outs.append(np.asarray(y))
         got = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=1e-5)
@@ -52,7 +54,7 @@ class TestPfbOp:
         c = 11
         t = np.arange(64 * M) / fs
         x = np.exp(2j * np.pi * (c * fs / M) * t).astype(np.complex64)
-        y, _ = op(op.init_state(1), jnp.asarray(x[None, :]))
+        y, _ = jrun(lambda x: op(op.init_state(1), x), x[None, :])
         p = np.mean(np.abs(np.asarray(y)[0][:, K:]) ** 2, axis=-1)
         assert np.argmax(p) == c
         assert 10 * np.log10(p[c] / np.delete(p, c).max()) > 30.0
@@ -76,8 +78,8 @@ class TestChannelizerChain:
         up = np.repeat(base, M)  # crude ZOH interpolation is fine within a channel
         wide = (up * np.exp(2j * np.pi * (37 * fs_ch) * n)).astype(np.complex64)
         mode = jnp.full((M,), demod_op.AM, jnp.int32)
-        st = chain.init_state()
-        st, audio, aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        st, audio, aux = jwrap(chain.step)(st, wide, mode)
         audio = np.asarray(audio)
         # channel 37 carries the tone
         snr = audio_snr_db(tone[512:], audio[37][512:], trim=128)
@@ -101,10 +103,10 @@ class TestShardedChannelizer:
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
 
-        st = chain.init_state()
-        ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
-        st2 = chain.init_state()
-        got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        ref_st, ref_audio, ref_aux = jwrap(chain.step)(st, wide, mode)
+        st2 = jrun(chain.init_state)
+        got_st, got_audio, got_aux = jwrap(sharded.step)(st2, wide, mode)
         # skip the PFB warm-up (K-1 = 7 frames): near-zero partial-conv
         # output there makes NFM's arctan2 ill-conditioned under CPU-mesh
         # fp nondeterminism (see tests/test_sharded.py WARMUP note)
@@ -134,10 +136,10 @@ class TestShardedChannelizer:
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 6, jnp.int32)  # all six modes in play
 
-        st = chain.init_state()
-        ref_st, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
-        st2 = chain.init_state()
-        got_st, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        ref_st, ref_audio, ref_aux = jwrap(chain.step)(st, wide, mode)
+        st2 = jrun(chain.init_state)
+        got_st, got_audio, got_aux = jwrap(sharded.step)(st2, wide, mode)
         assert got_audio.shape == (M, T // M)
         W = chain.pfb.K  # PFB warm-up frames (see note above)
         np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
@@ -164,20 +166,20 @@ class TestShardedChannelizer:
         wide = _wideband(rng, 2 * T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
 
-        st = chain.init_state()
+        st = jrun(chain.init_state)
         ref, ref_wf = [], []
-        step = jax.jit(chain.step)
+        step = jwrap(chain.step)
         for b in np.split(wide, 2):
-            st, a, aux = step(st, jnp.asarray(b), mode)
+            st, a, aux = step(st, b, mode)
             ref.append(np.asarray(a))
             ref_wf.append(np.asarray(aux["waterfall"]))
         ref_st = st
         ref = np.concatenate(ref, axis=-1)
-        st = chain.init_state()
+        st = jrun(chain.init_state)
         got, got_wf = [], []
-        sstep = jax.jit(sharded.step)
+        sstep = jwrap(sharded.step)
         for b in np.split(wide, 2):
-            st, a, aux = sstep(st, jnp.asarray(b), mode)
+            st, a, aux = sstep(st, b, mode)
             got.append(np.asarray(a))
             got_wf.append(np.asarray(aux["waterfall"]))
         got = np.concatenate(got, axis=-1)
@@ -211,9 +213,9 @@ class TestPfbWaterfall:
         t = np.arange(T) / cfg.fs_in
         wide = (np.exp(2j * np.pi * (c * cfg.fs_in / M) * t)
                 + 0.01 * _wideband(rng, T)).astype(np.complex64)
-        st = chain.init_state()
+        st = jrun(chain.init_state)
         assert st["spec"] == ()  # stateless waterfall: no dead leaf
-        _, _, aux = jax.jit(chain.step)(st, jnp.asarray(wide), 
+        _, _, aux = jwrap(chain.step)(st, wide, 
                                         jnp.zeros((M,), jnp.int32))
         wf = np.asarray(aux["waterfall"])  # (F/avg, M) dB, low..high
         assert wf.shape == (T // M // 4, M)
@@ -233,10 +235,10 @@ class TestPfbWaterfall:
         T = D * 2 * chain.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st = chain.init_state()
-        _, ref_audio, ref_aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
-        st2 = chain.init_state()
-        _, got_audio, got_aux = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        _, ref_audio, ref_aux = jwrap(chain.step)(st, wide, mode)
+        st2 = jrun(chain.init_state)
+        _, got_audio, got_aux = jwrap(sharded.step)(st2, wide, mode)
         W = chain.pfb.K
         np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
@@ -259,8 +261,8 @@ class TestEnabledModes:
         outs = []
         for cfg in (full, sub):
             chain = ChannelizerChain(cfg)
-            st = chain.init_state()
-            st, audio, _ = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+            st = jrun(chain.init_state)
+            st, audio, _ = jwrap(chain.step)(st, wide, mode)
             outs.append((np.asarray(audio), st))
         np.testing.assert_array_equal(outs[0][0], outs[1][0])
         # disabled SAM's state untouched in the subset chain
@@ -279,8 +281,8 @@ class TestFusedPfbDft:
         ref_op = PfbChannelizer(M, K)
         fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 32 * M)
-        yr, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
-        yf, _ = fus(fus.init_state(1), jnp.asarray(x[None, :]))
+        yr, _ = jrun(lambda x: ref_op(ref_op.init_state(1), x), x[None, :])
+        yf, _ = jrun(lambda x: fus(fus.init_state(1), x), x[None, :])
         np.testing.assert_allclose(np.asarray(yf), np.asarray(yr),
                                    atol=2e-4, rtol=1e-4)
 
@@ -291,11 +293,12 @@ class TestFusedPfbDft:
         ref_op = PfbChannelizer(M, K)
         fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 96 * M)
-        whole, _ = ref_op(ref_op.init_state(1), jnp.asarray(x[None, :]))
-        st = fus.init_state(1)
+        whole, _ = jrun(lambda x: ref_op(ref_op.init_state(1), x), x[None, :])
+        st = jrun(lambda: fus.init_state(1))
+        step = jwrap(fus)
         outs = []
         for blk in np.split(x, 3):
-            y, st = fus(st, jnp.asarray(blk[None, :]))
+            y, st = step(st, blk[None, :])
             outs.append(np.asarray(y))
         got = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=2e-4, rtol=1e-4)
@@ -309,10 +312,10 @@ class TestFusedPfbDft:
         T = 4 * ref_chain.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st = ref_chain.init_state()
-        _, ref_audio, ref_aux = jax.jit(ref_chain.step)(st, jnp.asarray(wide), mode)
-        st2 = fus_chain.init_state()
-        _, got_audio, got_aux = jax.jit(fus_chain.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(ref_chain.init_state)
+        _, ref_audio, ref_aux = jwrap(ref_chain.step)(st, wide, mode)
+        st2 = jrun(fus_chain.init_state)
+        _, got_audio, got_aux = jwrap(fus_chain.step)(st2, wide, mode)
         W = ref_chain.pfb.K
         np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
@@ -331,10 +334,10 @@ class TestFusedPfbDft:
         T = D * 2 * chain.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st = chain.init_state()
-        _, ref_audio, _ = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
-        st2 = chain.init_state()
-        _, got_audio, _ = jax.jit(sharded.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        _, ref_audio, _ = jwrap(chain.step)(st, wide, mode)
+        st2 = jrun(chain.init_state)
+        _, got_audio, _ = jwrap(sharded.step)(st2, wide, mode)
         W = chain.pfb.K
         np.testing.assert_allclose(np.asarray(got_audio)[:, W:],
                                    np.asarray(ref_audio)[:, W:], atol=2e-4)
@@ -358,10 +361,10 @@ class TestFusedDemodAgc:
         T = 4 * dense.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st = dense.init_state()
-        st_d, a_d, x_d = jax.jit(dense.step)(st, jnp.asarray(wide), mode)
-        st2 = fused.init_state()
-        st_f, a_f, x_f = jax.jit(fused.step)(st2, jnp.asarray(wide), mode)
+        st = jrun(dense.init_state)
+        st_d, a_d, x_d = jwrap(dense.step)(st, wide, mode)
+        st2 = jrun(fused.init_state)
+        st_f, a_f, x_f = jwrap(fused.step)(st2, wide, mode)
         W = dense.pfb.K
         np.testing.assert_allclose(np.asarray(a_f)[:, W:], np.asarray(a_d)[:, W:],
                                    atol=2e-4)
@@ -387,11 +390,11 @@ class TestFusedDemodAgc:
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         outs = []
         for chain in (dense, fused):
-            st = chain.init_state()
-            step = jax.jit(chain.step)
+            st = jrun(chain.init_state)
+            step = jwrap(chain.step)
             audios = []
             for b in np.split(wide, 2):
-                st, a, _ = step(st, jnp.asarray(b), mode)
+                st, a, _ = step(st, b, mode)
                 audios.append(np.asarray(a))
             outs.append(np.concatenate(audios, axis=-1))
         W = dense.pfb.K
@@ -460,7 +463,7 @@ class TestFusedConfigValidation:
         mode = jnp.zeros((64,), jnp.int32)
         bad = jnp.asarray(_wideband(rng, chain.min_block + 64))
         with pytest.raises(AssertionError, match="min_block|multiple of"):
-            chain.step(chain.init_state(), bad, mode)
+            chain.step(jrun(chain.init_state), bad, mode)
 
 
 class TestShardedFusedBackend:
@@ -487,12 +490,12 @@ class TestShardedFusedBackend:
         T = D * 2 * chain.min_block
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         wide = _wideband(rng, 2 * T)
-        st_u, st_s = chain.init_state(), chain.init_state()
-        step_u, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        st_u, st_s = jrun(chain.init_state), jrun(chain.init_state)
+        step_u, step_s = jwrap(chain.step), jwrap(sharded.step)
         W = chain.pfb.K
         for i, b in enumerate(np.split(wide, 2)):
-            st_u, a_u, x_u = step_u(st_u, jnp.asarray(b), mode)
-            st_s, a_s, x_s = step_s(st_s, jnp.asarray(b), mode)
+            st_u, a_u, x_u = step_u(st_u, b, mode)
+            st_s, a_s, x_s = step_s(st_s, b, mode)
             skip = W if i == 0 else 0
             np.testing.assert_allclose(np.asarray(a_s)[:, skip:],
                                        np.asarray(a_u)[:, skip:], atol=2e-4)
@@ -553,11 +556,11 @@ class TestFusedAttackAgc:
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         outs, states = [], []
         for chain in (dense, fused):
-            st = chain.init_state()
-            step = jax.jit(chain.step)
+            st = jrun(chain.init_state)
+            step = jwrap(chain.step)
             audios = []
             for b in np.split(wide, 2):
-                st, a, _ = step(st, jnp.asarray(b), mode)
+                st, a, _ = step(st, b, mode)
                 audios.append(np.asarray(a))
             outs.append(np.concatenate(audios, axis=-1))
             states.append(st)
@@ -580,9 +583,9 @@ class TestFusedAttackAgc:
         T = D * 2 * chain.min_block
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         wide = _wideband(rng, T)
-        st_u, st_s = chain.init_state(), chain.init_state()
-        st_u, a_u, _ = jax.jit(chain.step)(st_u, jnp.asarray(wide), mode)
-        st_s, a_s, _ = jax.jit(sharded.step)(st_s, jnp.asarray(wide), mode)
+        st_u, st_s = jrun(chain.init_state), jrun(chain.init_state)
+        st_u, a_u, _ = jwrap(chain.step)(st_u, wide, mode)
+        st_s, a_s, _ = jwrap(sharded.step)(st_s, wide, mode)
         W = chain.pfb.K
         np.testing.assert_allclose(np.asarray(a_s)[:, W:],
                                    np.asarray(a_u)[:, W:], atol=2e-4)
@@ -618,11 +621,11 @@ class TestSinglePassChannelizer:
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         outs, auxs, states = [], [], []
         for chain in (two, one):
-            st = chain.init_state()
-            step = jax.jit(chain.step)
+            st = jrun(chain.init_state)
+            step = jwrap(chain.step)
             audios, wfs = [], []
             for b in np.split(wide, 2):
-                st, a, x = step(st, jnp.asarray(b), mode)
+                st, a, x = step(st, b, mode)
                 audios.append(np.asarray(a))
                 wfs.append(np.asarray(x["waterfall"]))
             outs.append(np.concatenate(audios, axis=-1))
@@ -650,9 +653,9 @@ class TestSinglePassChannelizer:
         T = 4 * dense.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st_d, a_d, x_d = jax.jit(dense.step)(dense.init_state(),
+        st_d, a_d, x_d = jwrap(dense.step)(jrun(dense.init_state),
                                              jnp.asarray(wide), mode)
-        st_o, a_o, x_o = jax.jit(one.step)(one.init_state(),
+        st_o, a_o, x_o = jwrap(one.step)(jrun(one.init_state),
                                            jnp.asarray(wide), mode)
         W = dense.pfb.K
         np.testing.assert_allclose(np.asarray(a_o)[:, W:],
@@ -679,8 +682,8 @@ class TestSinglePassChannelizer:
         up = np.repeat(base, M)
         wide = (up * np.exp(2j * np.pi * (37 * fs_ch) * n)).astype(np.complex64)
         mode = jnp.full((M,), demod_op.AM, jnp.int32)
-        st = chain.init_state()
-        st, audio, aux = jax.jit(chain.step)(st, jnp.asarray(wide), mode)
+        st = jrun(chain.init_state)
+        st, audio, aux = jwrap(chain.step)(st, wide, mode)
         snr = audio_snr_db(tone[512:], np.asarray(audio)[37][512:], trim=128)
         assert snr > 15.0, f"single-pass channelized AM SNR {snr:.1f} dB"
         assert np.argmax(np.asarray(aux["channel_power"])) == 37
@@ -691,10 +694,10 @@ class TestSinglePassChannelizer:
         T = 2 * chain.min_block
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
-        st1, a1, x1 = jax.jit(chain.step)(chain.init_state(),
+        st1, a1, x1 = jwrap(chain.step)(jrun(chain.init_state),
                                           jnp.asarray(wide), mode)
-        st2, a2, x2 = jax.jit(chain.step_planes)(
-            chain.init_state(), jnp.asarray(wide.real.copy()),
+        st2, a2, x2 = jwrap(chain.step_planes)(
+            jrun(chain.init_state), jnp.asarray(wide.real.copy()),
             jnp.asarray(wide.imag.copy()), mode)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(x1["waterfall"]),
@@ -727,11 +730,11 @@ class TestShardedSinglePass:
         T = D * 2 * chain.min_block
         mode = jnp.asarray(np.arange(chain.cfg.num_channels) % 4, jnp.int32)
         wide = _wideband(rng, n_blocks * T)
-        st_u, st_s = chain.init_state(), chain.init_state()
-        step_u, step_s = jax.jit(chain.step), jax.jit(sharded.step)
+        st_u, st_s = jrun(chain.init_state), jrun(chain.init_state)
+        step_u, step_s = jwrap(chain.step), jwrap(sharded.step)
         for b in np.split(wide, n_blocks):
-            st_u, a_u, x_u = step_u(st_u, jnp.asarray(b), mode)
-            st_s, a_s, x_s = step_s(st_s, jnp.asarray(b), mode)
+            st_u, a_u, x_u = step_u(st_u, b, mode)
+            st_s, a_s, x_s = step_s(st_s, b, mode)
             np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u),
                                        atol=2e-4)
             np.testing.assert_allclose(np.asarray(x_s["waterfall"]),
@@ -788,14 +791,14 @@ class TestShardedSinglePass:
         mode = jnp.asarray(np.arange(64) % 4, jnp.int32)
         T = 4 * 2 * chain.min_block
         wide = jnp.asarray(_wideband(rng, T))
-        st = chain.init_state()
-        st_s, _, _ = jax.jit(sharded.step)(st, wide, mode)
+        st = jrun(chain.init_state)
+        st_s, _, _ = jwrap(sharded.step)(st, wide, mode)
         # resume the SHARDED state through the UNSHARDED chain, via a host
         # round trip (exactly what a checkpoint restore does) to drop the
         # mesh placement the shard_map output carries
         st_host = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), st_s)
-        st_u, a_u, _ = jax.jit(chain.step)(st_host, wide, mode)
-        st_s2, a_s, _ = jax.jit(sharded.step)(st_s, wide, mode)
+        st_u, a_u, _ = jwrap(chain.step)(st_host, wide, mode)
+        st_s2, a_s, _ = jwrap(sharded.step)(st_s, wide, mode)
         np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=2e-4)
 
 

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.core import presets
 from radioframe.core.config import CicStage, TxConfig
@@ -20,7 +21,7 @@ class TestCicInterpolator:
         L, N = 8, 3
         op = cic_interpolator(L, N)
         x = (rng.standard_normal((1, 96)) + 1j * rng.standard_normal((1, 96))).astype(np.complex64)
-        y, _ = jax.jit(op)(op.init_state(1), jnp.asarray(x))
+        y, _ = jrun(lambda x: op(op.init_state(1), x), x)
         taps = np.asarray(op._w).reshape(-1)[: op.Lh]
         want, _ = G.interpolate(x[0].astype(np.complex128), L, taps)
         np.testing.assert_allclose(np.asarray(y)[0], want, atol=1e-5)
@@ -29,11 +30,12 @@ class TestCicInterpolator:
         L, N = 4, 4
         op = cic_interpolator(L, N)
         x = (rng.standard_normal((2, 120)) + 1j * rng.standard_normal((2, 120))).astype(np.complex64)
-        whole, _ = op(op.init_state(2), jnp.asarray(x))
-        st = op.init_state(2)
+        whole, _ = jrun(lambda x: op(op.init_state(2), x), x)
+        st = jrun(lambda: op.init_state(2))
+        step = jwrap(op)
         outs = []
         for blk in np.split(x, 3, axis=-1):
-            y, st = op(st, jnp.asarray(blk))
+            y, st = step(st, blk)
             outs.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(outs, -1), np.asarray(whole), atol=1e-5)
 
@@ -41,8 +43,8 @@ class TestCicInterpolator:
         """A constant baseband keeps its amplitude at the DAC rate."""
         L = 16
         op = cic_interpolator(L, 4)
-        x = jnp.ones((1, 64), jnp.complex64)
-        y, _ = op(op.init_state(1), x)
+        x = np.ones((1, 64), np.complex64)
+        y, _ = jrun(lambda x: op(op.init_state(1), x), x)
         # steady state (past the filter warm-up)
         np.testing.assert_allclose(np.abs(np.asarray(y)[0, 256:]), 1.0, rtol=1e-5)
 
@@ -69,11 +71,11 @@ class TestAdcRateDuc:
         f_tx = 12_345_000.0
         w = jnp.asarray([nco.freq_word(f_tx, fs_out)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
-        st = tx.init_state(1)
+        st = jrun(lambda: tx.init_state(1))
         # two blocks: score the second (filters settled)
-        step = jax.jit(tx.step)
-        st, _ = step(st, jnp.asarray(audio[None, :]), w, mode)
-        st, iq = step(st, jnp.asarray(audio[None, :]), w, mode)
+        step = jwrap(tx.step)
+        st, _ = step(st, audio[None, :], w, mode)
+        st, iq = step(st, audio[None, :], w, mode)
         X = np.fft.fft(np.asarray(iq)[0] * np.hanning(Ta * 1280))
         f = np.fft.fftfreq(Ta * 1280, 1.0 / fs_out)
         p = np.abs(X) ** 2
@@ -91,11 +93,12 @@ class TestAdcRateDuc:
         audio = rng.standard_normal((2, 2 * Ta)).astype(np.float32) * 0.3
         w = jnp.asarray(nco.freq_word([1e6, -3e6], tx.cfg.fs_out))
         mode = jnp.asarray([demod_op.SSB, demod_op.NFM], jnp.int32)
-        _, whole = tx.step(tx.init_state(2), jnp.asarray(audio), w, mode)
-        st = tx.init_state(2)
+        _, whole = jrun(lambda a: tx.step(tx.init_state(2), a, w, mode), audio)
+        st = jrun(lambda: tx.init_state(2))
+        step = jwrap(tx.step)
         outs = []
         for blk in np.split(audio, 2, axis=-1):
-            st, y = tx.step(st, jnp.asarray(blk), w, mode)
+            st, y = step(st, blk, w, mode)
             outs.append(np.asarray(y))
         got = np.concatenate(outs, axis=-1)
         np.testing.assert_allclose(got, np.asarray(whole), atol=2e-4)

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.core.config import CicStage, FirStage, RxConfig
 from radioframe.kernels.fused_frontend import FusedFrontend
@@ -37,15 +38,20 @@ class TestFusedFrontend:
         fus = FusedFrontend(taps, R, interpret=_INTERP)
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
         x = _iq(rng, C, 3 * T)
-        acc, tail = nco.init_state(C), ref.init_state(C)
-        fstate = fus.init_state(C)
-        outs_ref, outs_fus = [], []
-        for b in np.split(x, 3, axis=-1):
-            b = jnp.asarray(b)
+
+        def ref_step(acc, tail, b):
             m, acc = nco.mix_down(b, words, acc)
             y, tail = ref(tail, m)
+            return acc, tail, y
+
+        ref_s, fus_s = jwrap(ref_step), jwrap(fus.step)
+        acc, tail = np.zeros(C, np.int32), jrun(lambda: ref.init_state(C))
+        fstate = jrun(lambda: fus.init_state(C))
+        outs_ref, outs_fus = [], []
+        for b in np.split(x, 3, axis=-1):
+            acc, tail, y = ref_s(acc, tail, b)
             outs_ref.append(np.asarray(y))
-            fstate, yf = fus.step(fstate, b, words)
+            fstate, yf = fus_s(fstate, b, words)
             outs_fus.append(np.asarray(yf))
         np.testing.assert_allclose(
             np.concatenate(outs_fus, -1), np.concatenate(outs_ref, -1), atol=3e-5)
@@ -59,10 +65,11 @@ class TestFusedFrontend:
         fus = FusedFrontend(taps, 4, interpret=_INTERP)
         C = 5
         words = jnp.asarray(nco.freq_word(np.linspace(1e3, 9e3, C), 192e3))
-        x = jnp.asarray(_iq(rng, 1, 1024))
-        m, _ = nco.mix_down(x, words, nco.init_state(C))
-        want, _ = ref(ref.init_state(C), m)
-        _, got = fus.step(fus.init_state(C), x, words)
+        x = _iq(rng, 1, 1024)
+        want, _ = jrun(lambda x: ref(
+            ref.init_state(C),
+            nco.mix_down(x, words, jnp.zeros(C, jnp.int32))[0]), x)
+        _, got = jrun(lambda x: fus.step(fus.init_state(C), x, words), x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
     @pytest.mark.slow
@@ -76,12 +83,14 @@ class TestFusedFrontend:
         C = 4
         words = jnp.asarray(nco.freq_word(np.array([1e3, -2e3, 5e3, 0.0]), 192e3))
         mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
-        s_ref, s_fus = ch_ref.init_state(C), ch_fus.init_state(C)
+        s_ref = jrun(lambda: ch_ref.init_state(C))
+        s_fus = jrun(lambda: ch_fus.init_state(C))
+        step_ref, step_fus = jwrap(ch_ref.step), jwrap(ch_fus.step)
         T = 4 * ch_ref.min_block
         for blk in range(3):
-            x = jnp.asarray(_iq(rng, C, T))
-            s_ref, a_ref, _ = ch_ref.step(s_ref, x, words, mode)
-            s_fus, a_fus, _ = ch_fus.step(s_fus, x, words, mode)
+            x = _iq(rng, C, T)
+            s_ref, a_ref, _ = step_ref(s_ref, x, words, mode)
+            s_fus, a_fus, _ = step_fus(s_fus, x, words, mode)
             if blk == 0:
                 continue  # filter/NFM warm-up amplifies fp noise (atan2 of ~0)
             np.testing.assert_allclose(np.asarray(a_fus), np.asarray(a_ref),
@@ -94,12 +103,16 @@ class TestFusedFrontend:
         taps = FD.cic_equivalent_taps(R, 4, 1)
         fus = FusedFrontend(taps, R, interpret=_INTERP)
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 48e3, 192e3))
-        x = jnp.asarray(_iq(rng, C, T))
-        tail = jnp.asarray(_iq(rng, C, fus.H))
-        acc = jnp.asarray(rng.integers(-2**31, 2**31, C, dtype=np.int32))
-        _, y_full = fus.step({"acc": acc, "tail": tail}, x, words)
-        _, y_zero = fus.step({"acc": acc, "tail": jnp.zeros_like(tail)}, x, words)
-        corr = fus.boundary_correction(acc, words, tail)
+        x = _iq(rng, C, T)
+        tail = _iq(rng, C, fus.H)
+        acc = rng.integers(-2**31, 2**31, C, dtype=np.int32)
+        _, y_full = jrun(lambda x, tl: fus.step(
+            {"acc": jnp.asarray(acc), "tail": tl}, x, words), x, tail)
+        _, y_zero = jrun(lambda x: fus.step(
+            {"acc": jnp.asarray(acc),
+             "tail": jnp.zeros((C, fus.H), jnp.complex64)}, x, words), x)
+        corr = jrun(lambda tl: fus.boundary_correction(
+            jnp.asarray(acc), words, tl), tail)
         got = np.asarray(y_zero).copy()
         got[:, : fus.J0] += np.asarray(corr)
         np.testing.assert_allclose(got, np.asarray(y_full), atol=3e-5)

@@ -166,71 +166,75 @@ class TestInterferenceGolden:
         return outs_j, outs_g
 
     def test_spectral_nr_matches_golden(self, rng):
-        import jax.numpy as jnp
+        from conftest import jwrap
 
         from radioframe.ops.interference import SpectralNR
 
         nr = SpectralNR(nfft=128)
+        step = jwrap(nr)  # plane-transfer jit: same test runs on the TPU
         st_j = nr.init_state(1)
         st_g = None
         x = (0.1 * _rand_iq(rng, 3 * 1024)).astype(np.complex64)
         x[1024:2048] += np.exp(2j * np.pi * 0.13 * np.arange(1024))
         for b in x.reshape(3, 1024):
-            yj, st_j = nr(st_j, jnp.asarray(b[None, :]))
+            yj, st_j = step(st_j, b[None, :])
             yg, st_g = G.spectral_nr(b, nfft=128, noise_est=st_g)
             np.testing.assert_allclose(np.asarray(yj)[0], yg, atol=2e-5)
             np.testing.assert_allclose(np.asarray(st_j)[0], st_g, rtol=1e-4)
 
     def test_spectral_nr_vad_gated_matches_golden(self, rng):
-        import jax.numpy as jnp
+        from conftest import jwrap
 
         from radioframe.ops.interference import SpectralNR, Vad
 
         nr, vd = SpectralNR(nfft=128), Vad(nfft=128)
+        step_nr, step_vd = jwrap(nr), jwrap(vd)
         st_j, fl_j = nr.init_state(1), vd.init_state(1)
         st_g = fl_g = None
         x = (0.1 * _rand_iq(rng, 3 * 1024)).astype(np.complex64)
         x[1024:2048] += 2.0 * np.exp(2j * np.pi * 0.13 * np.arange(1024))
         for b in x.reshape(3, 1024):
-            vj, fl_j = vd(fl_j, jnp.asarray(b[None, :]))
+            vj, fl_j = step_vd(fl_j, b[None, :])
             vg, fl_g = G.vad_stream(b, nfft=128, floor=fl_g)
             np.testing.assert_array_equal(np.asarray(vj)[0], vg)
             np.testing.assert_allclose(np.asarray(fl_j)[0], fl_g, rtol=1e-4)
-            yj, st_j = nr(st_j, jnp.asarray(b[None, :]), voice=vj)
+            yj, st_j = step_nr(st_j, b[None, :], voice=vj)
             yg, st_g = G.spectral_nr(b, nfft=128, noise_est=st_g, voice=vg)
             np.testing.assert_allclose(np.asarray(yj)[0], yg, atol=2e-5)
             np.testing.assert_allclose(np.asarray(st_j)[0], st_g, rtol=1e-4)
 
     def test_noise_blanker_matches_golden(self, rng):
-        import jax.numpy as jnp
+        from conftest import jwrap
 
         from radioframe.ops.interference import NoiseBlanker
 
         nb = NoiseBlanker(threshold=6.0)
+        step = jwrap(nb)
         st_j = nb.init_state(1)
         st_g = 0.0
         x = (0.1 * _rand_iq(rng, 2 * 2048)).astype(np.complex64)
         x[777] = 30.0
         x[3000] = -25.0j
         for b in x.reshape(2, 2048):
-            yj, st_j = nb(st_j, jnp.asarray(b[None, :]))
+            yj, st_j = step(st_j, b[None, :])
             yg, st_g = G.noise_blanker(b, power_est=st_g)
             np.testing.assert_allclose(np.asarray(yj)[0], yg, atol=2e-5)
             np.testing.assert_allclose(float(np.asarray(st_j)[0]), float(st_g), rtol=1e-4)
 
     def test_auto_notch_matches_golden(self, rng):
-        import jax.numpy as jnp
+        from conftest import jwrap
 
         from radioframe.ops.interference import AutoNotch
 
         an = AutoNotch(nfft=128)
+        step = jwrap(an)
         st_j = an.init_state(1)
         st_g = None
         n = 3 * 1024
         x = (0.05 * _rand_iq(rng, n)).astype(np.complex64)
         x += np.exp(2j * np.pi * (17.0 / 128.0) * np.arange(n))  # steady carrier
         for b in x.reshape(3, 1024):
-            yj, st_j = an(st_j, jnp.asarray(b[None, :]))
+            yj, st_j = step(st_j, b[None, :])
             yg, st_g = G.auto_notch(b, nfft=128, mag_ema=st_g)
             np.testing.assert_allclose(np.asarray(yj)[0], yg, atol=2e-5)
             np.testing.assert_allclose(np.asarray(st_j)[0], st_g, rtol=1e-4)

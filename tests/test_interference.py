@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+from conftest import jrun, jwrap
 
 from radioframe.core.config import RxConfig
 from radioframe.diag.metrics import audio_snr_db
@@ -22,8 +23,7 @@ class TestNoiseBlanker:
         hits = rng.integers(100, 4000, 25)
         x[0, hits] += 30.0  # big impulses
         nb = NoiseBlanker(threshold=4.0)
-        y, _ = jax.jit(nb)(nb.init_state(1), jnp.asarray(x))
-        y = np.asarray(y)
+        y, _ = jrun(lambda x: nb(nb.init_state(1), x), x)
         assert np.all(np.abs(y[0, hits]) < 1e-6)  # impulses blanked
         untouched = np.setdiff1d(np.arange(4096), hits)
         frac = np.mean(np.abs(y[0, untouched]) > 0)
@@ -32,13 +32,14 @@ class TestNoiseBlanker:
     def test_streaming_state(self, rng):
         x = (0.1 * (rng.standard_normal((1, 2048)) + 1j * rng.standard_normal((1, 2048)))).astype(np.complex64)
         nb = NoiseBlanker()
-        whole, _ = nb(nb.init_state(1), jnp.asarray(x))
-        st = nb.init_state(1)
+        whole, _ = jrun(lambda x: nb(nb.init_state(1), x), x)
+        st = jrun(lambda: nb.init_state(1))
+        step = jwrap(nb)
         outs = []
         for b in np.split(x, 2, axis=-1):
-            y, st = nb(st, jnp.asarray(b))
+            y, st = step(st, b)
             outs.append(np.asarray(y))
-        np.testing.assert_allclose(np.concatenate(outs, -1), np.asarray(whole), atol=1e-6)
+        np.testing.assert_allclose(np.concatenate(outs, -1), whole, atol=1e-6)
 
 
 class TestAutoNotch:
@@ -50,10 +51,11 @@ class TestAutoNotch:
         carrier = 0.8 * np.exp(2j * np.pi * 1500.3 * t).astype(np.complex64)
         x = (voice + carrier)[None, :]
         notch = AutoNotch(nfft=256, ema=0.5)
-        st = notch.init_state(1)
+        st = jrun(lambda: notch.init_state(1))
+        step = jwrap(notch)
         # run twice so the EMA locks onto the persistent tone
-        y, st = notch(st, jnp.asarray(x))
-        y, st = notch(st, jnp.asarray(x))
+        y, st = step(st, x)
+        y, st = step(st, x)
         y = np.asarray(y)[0]
         # carrier power reduced by > 20 dB
         def tone_pow(sig):
@@ -80,9 +82,10 @@ class TestSpectralNR:
         noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)) * 0.05
         x = (sig + noise).astype(np.complex64)[None, :]
         nr = SpectralNR(nfft=nfft)
-        st = nr.init_state(1)
-        y, st = nr(st, jnp.asarray(x))
-        y, st = nr(st, jnp.asarray(x))  # converged estimate
+        st = jrun(lambda: nr.init_state(1))
+        step = jwrap(nr)
+        y, st = step(st, x)
+        y, st = step(st, x)  # converged estimate
         y = np.asarray(y)[0]
         off = ~duty
         p_off_in = np.mean(np.abs(x[0][off]) ** 2)
@@ -100,7 +103,7 @@ class TestVad:
         x = 0.01 * (rng.standard_normal((1, n)) + 1j * rng.standard_normal((1, n))).astype(np.complex64)
         t = np.arange(n // 2) / fs
         x[0, : n // 2] += (0.5 * np.exp(2j * np.pi * 800.0 * t)).astype(np.complex64)
-        flags = np.asarray(vad(jnp.asarray(x), nfft=256))
+        flags = np.asarray(jrun(lambda x: vad(x, nfft=256), x))
         F = flags.shape[1]
         assert flags[0, : F // 2].mean() > 0.8
         assert flags[0, F // 2:].mean() < 0.2
@@ -118,8 +121,9 @@ class TestChainIntegration:
             iq, truth = FX.ssb_capture(FS, n, 37_000.0, audio=voice)
             words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
             mode = jnp.asarray([demod_op.SSB], jnp.int32)
-            st = chain.init_state(1)
-            _, audio, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+            _, audio, _ = jrun(lambda iq, w, m: chain.step(
+                chain.init_state(1), iq, w, m),
+                iq[None, :].astype(np.complex64), words, mode)
             return audio_snr_db(truth, np.asarray(audio)[0])
 
         base = run(RxConfig(channels=1))
@@ -138,10 +142,10 @@ class TestChainIntegration:
         iq, _ = FX.ssb_capture(FS, 4 * chain.min_block, 37_000.0)
         words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
-        st = chain.init_state(1)
-        step = jax.jit(chain.step)
+        st = jrun(lambda: chain.init_state(1))
+        step = jwrap(chain.step)
         for b in np.split(iq, 2):
-            st, audio, _ = step(st, jnp.asarray(b[None, :], jnp.complex64), words, mode)
+            st, audio, _ = step(st, b[None, :].astype(np.complex64), words, mode)
         assert np.all(np.isfinite(np.asarray(audio)))
 
 
@@ -151,15 +155,15 @@ class TestVadGating:
 
     def test_all_voice_freezes_estimate(self, rng):
         nr = SpectralNR(nfft=128)
-        est = jnp.asarray(0.02 * np.ones((1, 128), np.float32))
-        x = jnp.asarray((np.exp(2j * np.pi * 0.1 * np.arange(1024))
-                         ).astype(np.complex64)[None, :])
-        voice_all = jnp.ones((1, 8), bool)
-        _, est_frozen = nr(est, x, voice=voice_all)
+        est = 0.02 * np.ones((1, 128), np.float32)
+        x = (np.exp(2j * np.pi * 0.1 * np.arange(1024))
+             ).astype(np.complex64)[None, :]
+        voice_all = np.ones((1, 8), bool)
+        _, est_frozen = jrun(nr, est, x, voice=voice_all)
         np.testing.assert_array_equal(np.asarray(est_frozen), np.asarray(est))
         # ungated on the same input: the estimate moves (grows by `up` or
         # re-minimizes) — proves the freeze came from the gate
-        _, est_free = nr(est, x)
+        _, est_free = jrun(nr, est, x)
         assert not np.array_equal(np.asarray(est_free), np.asarray(est))
 
     def test_voice_frames_excluded_from_min(self, rng):
@@ -168,18 +172,18 @@ class TestVadGating:
         the real hazard — a QUIET voice pause learned correctly while the
         estimate ignores flagged frames whose floor is lower."""
         nr = SpectralNR(nfft=128)
-        est0 = nr.init_state(1)
+        est0 = jrun(lambda: nr.init_state(1))
         n = 8 * 128
         noise = (0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
                  ).astype(np.complex64)
         x = noise.copy()
         x[: n // 2] += np.exp(2j * np.pi * 0.11 * np.arange(n // 2)).astype(np.complex64)
-        voice = jnp.asarray(np.r_[np.ones(4, bool), np.zeros(4, bool)][None, :])
-        _, est_gated = nr(est0, jnp.asarray(x[None, :]), voice=voice)
+        voice = np.r_[np.ones(4, bool), np.zeros(4, bool)][None, :]
+        _, est_gated = jrun(nr, est0, x[None, :], voice=voice)
         # gated estimate ~ noise-only level IN AGGREGATE (per-bin min over 4
         # vs 8 frames differs by sampling noise; compare the mean level) and,
         # the actual hazard, the carrier bin must NOT have been learned
-        _, est_noise = nr(est0, jnp.asarray(noise[None, :]))
+        _, est_noise = jrun(nr, est0, noise[None, :])
         g, n_ = np.asarray(est_gated), np.asarray(est_noise)
         assert 0.5 < g.mean() / n_.mean() < 3.0, (g.mean(), n_.mean())
         carrier_bin = int(round(0.11 * 128))
@@ -192,12 +196,12 @@ class TestVadGating:
         iq, _ = FX.ssb_capture(FS, n, 37_000.0)
         words = jnp.asarray(nco.freq_word(np.asarray([37_000.0, -20_000.0]), FS))
         mode = jnp.asarray([demod_op.SSB, demod_op.AM], jnp.int32)
-        st = chain.init_state(2)
-        assert "vad" in st and st["vad"].shape == (2,)
-        step = jax.jit(chain.step)
+        st = jrun(lambda: chain.init_state(2))
+        assert "vad" in st and np.asarray(st["vad"]).shape == (2,)
+        step = jwrap(chain.step)
         iq2 = np.broadcast_to(iq, (2, n))
         for b in np.split(iq2, 2, axis=-1):
-            st, audio, aux = step(st, jnp.asarray(b, jnp.complex64), words, mode)
+            st, audio, aux = step(st, b.astype(np.complex64), words, mode)
         assert "vad_active" in aux and aux["vad_active"].dtype == bool
         assert aux["vad_active"].shape[0] == 2
         assert np.all(np.isfinite(np.asarray(audio)))

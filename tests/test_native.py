@@ -122,17 +122,20 @@ class TestCaptureSource:
         words = jnp.asarray([nco.freq_word(10e3, 192e3)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
 
+        from conftest import jrun, jwrap
+
         src = CaptureSource(iter(chunks), block_len=T)
-        bs = BlockStream(chain.step, chain.init_state(1), donate=False)
+        bs = BlockStream(chain.step, jax.jit(lambda: chain.init_state(1))(),
+                         donate=False)
         outs, _ = bs.run(src, words, mode)
         got = np.concatenate([np.asarray(o) for o in outs], axis=-1)
 
-        st = chain.init_state(1)
-        step = jax.jit(chain.step)
+        st = jrun(lambda: chain.init_state(1))
+        step = jwrap(chain.step)
         ref = []
         for c in chunks:
             blk = iq_i16_to_c64(c)[None, :]
-            st, a, _ = step(st, jnp.asarray(blk), words, mode)
+            st, a, _ = step(st, blk, words, mode)
             ref.append(np.asarray(a))
         ref = np.concatenate(ref, axis=-1)
         np.testing.assert_array_equal(got, ref)

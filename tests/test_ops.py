@@ -1,10 +1,18 @@
 """JAX ops vs the A0 golden model (SURVEY.md §4.2 #1): near-fp32 tolerance,
-plus block-split/state-handoff invariance for every stateful op."""
+plus block-split/state-handoff invariance for every stateful op.
+
+All op invocations go through the conftest plane-transfer jit helpers
+(jrun/jwrap, VERDICT r4 ask #3): complex arrays cross the host boundary
+as f32 planes inside ONE jitted program, so the same tests run unmodified
+on the CPU mesh and on the real TPU (whose transport has no complex64
+host<->device path and no op-by-op dispatch).
+"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.golden import model as G
 from radioframe.ops import agc as agc_op
@@ -27,37 +35,37 @@ class TestNCO:
         freqs = np.array([37000.0, -15000.0, 123.456])
         words = nco.freq_word(freqs, fs)
         fq = nco.word_to_freq(words, fs)  # golden runs at the quantized freqs
-        y, _ = jax.jit(nco.mix_down)(jnp.asarray(x), jnp.asarray(words), nco.init_state(3))
+        y, _ = jrun(nco.mix_down, x, words, np.zeros(3, np.int32))
         for c in range(3):
             ref, _ = G.nco_mix(x[c], fq[c], fs)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=2e-5)
+            np.testing.assert_allclose(y[c], ref, atol=2e-5)
 
     def test_phase_continuity_exact(self, rng):
         fs = 48000.0
         x = _iq(rng, 1, 2048)
-        w = jnp.asarray(nco.freq_word(1234.5, fs))[None]
-        acc = nco.init_state(1)
+        w = np.asarray(nco.freq_word(1234.5, fs))[None]
+        acc = np.zeros(1, np.int32)
+        step = jwrap(nco.mix_down)
         # split on a multiple of the oscillator factorization group (128) so
         # the int32 phase grids coincide -> bit-exact continuation
-        y1, acc1 = nco.mix_down(jnp.asarray(x[:, :1024]), w, acc)
-        y2, _ = nco.mix_down(jnp.asarray(x[:, 1024:]), w, acc1)
-        whole, _ = nco.mix_down(jnp.asarray(x), w, acc)
-        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
-        np.testing.assert_array_equal(got[:, 1024:], np.asarray(whole)[:, 1024:])
+        y1, acc1 = step(x[:, :1024], w, acc)
+        y2, _ = step(x[:, 1024:], w, acc1)
+        whole, _ = step(x, w, acc)
+        got = np.concatenate([y1, y2], axis=-1)
+        np.testing.assert_array_equal(got[:, 1024:], whole[:, 1024:])
 
     def test_long_stream_no_phase_drift(self, rng):
         # 100 blocks of 4096: int32 accumulator keeps phase exact vs float64
         fs = 192000.0
         w = nco.freq_word(37000.0, fs)
-        acc = nco.init_state(1)
-        ones = jnp.ones((1, 4096), jnp.complex64)
-        step = jax.jit(nco.mix_down)
+        acc = np.zeros(1, np.int32)
+        ones = np.ones((1, 4096), np.complex64)
+        step = jwrap(nco.mix_down)
         for _ in range(100):
-            y, acc = step(ones, jnp.asarray(w)[None], acc)
+            y, acc = step(ones, np.asarray(w)[None], acc)
         n_last = 100 * 4096 - 1
         expected = np.exp(-1j * 2 * np.pi * (nco.word_to_freq(w, fs) / fs) * n_last)
-        got = np.asarray(y)[0, -1]
-        assert abs(got - expected) < 1e-4
+        assert abs(y[0, -1] - expected) < 1e-4
 
 
 class TestFIR:
@@ -66,39 +74,40 @@ class TestFIR:
         taps = FD.lowpass_taps(63, 0.2, 1.0)
         op = FirDecimator(taps, R)
         x = _iq(rng, 4, 512)
-        y, _ = jax.jit(op)(op.init_state(4), jnp.asarray(x))
+        y, _ = jrun(lambda x: op(op.init_state(4), x), x)
         for c in range(4):
             ref, _ = G.fir_decimate(x[c].astype(np.complex128), taps, R)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+            np.testing.assert_allclose(y[c], ref, atol=1e-5)
 
     def test_complex_taps_vs_golden(self, rng):
         taps = FD.complex_bandpass_taps(101, 300.0, 2700.0, 48000.0)
         op = FirDecimator(taps, 2)
         x = _iq(rng, 2, 600)
-        y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+        y, _ = jrun(lambda x: op(op.init_state(2), x), x)
         for c in range(2):
             ref, _ = G.fir_decimate(x[c].astype(np.complex128), taps, 2)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+            np.testing.assert_allclose(y[c], ref, atol=1e-5)
 
     def test_streaming_state_handoff(self, rng):
         taps = FD.lowpass_taps(63, 0.2, 1.0)
         op = FirDecimator(taps, 4)
         x = _iq(rng, 2, 1024)
-        whole, _ = op(op.init_state(2), jnp.asarray(x))
-        st = op.init_state(2)
+        whole, _ = jrun(lambda x: op(op.init_state(2), x), x)
+        st = jrun(lambda: op.init_state(2))
+        step = jwrap(op)
         outs = []
         for blk in np.split(x, 4, axis=-1):
-            y, st = op(st, jnp.asarray(blk))
-            outs.append(np.asarray(y))
-        np.testing.assert_allclose(np.concatenate(outs, axis=-1), np.asarray(whole), atol=1e-6)
+            y, st = step(st, blk)
+            outs.append(y)
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1), whole, atol=1e-6)
 
     def test_cic_vs_golden(self, rng):
         op = cic_decimator(8, 4)
         x = _iq(rng, 2, 1024)
-        y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+        y, _ = jrun(lambda x: op(op.init_state(2), x), x)
         for c in range(2):
             ref, _ = G.cic_decimate(x[c].astype(np.complex128), 8, 4)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-5)
+            np.testing.assert_allclose(y[c], ref, atol=1e-5)
 
 
 class TestScans:
@@ -106,7 +115,7 @@ class TestScans:
         a = rng.uniform(0.5, 1.0, (3, 200)).astype(np.float32)
         b = rng.standard_normal((3, 200)).astype(np.float32)
         s0 = rng.standard_normal(3).astype(np.float32)
-        got = np.asarray(affine_scan(jnp.asarray(a), jnp.asarray(b), jnp.asarray(s0)))
+        got = jrun(affine_scan, a, b, s0)
         for c in range(3):
             s = s0[c]
             for n in range(200):
@@ -117,7 +126,7 @@ class TestScans:
         a = np.full((2, 300), 0.99, np.float32)
         v = np.abs(rng.standard_normal((2, 300))).astype(np.float32)
         s0 = np.array([0.0, 5.0], np.float32)
-        got = np.asarray(maxdecay_scan(jnp.asarray(a), jnp.asarray(v), jnp.asarray(s0)))
+        got = jrun(maxdecay_scan, a, v, s0)
         for c in range(2):
             s = s0[c]
             for n in range(300):
@@ -128,19 +137,23 @@ class TestScans:
 class TestAGC:
     def test_vs_golden(self, rng):
         x = _iq(rng, 2, 500) * np.exp(np.sin(np.arange(500) / 40.0))[None, :]
-        y, env, _ = jax.jit(lambda e, x: agc_op.apply(e, x, 0.999))(agc_op.init_state(2), jnp.asarray(x))
+        x = x.astype(np.complex64)
+        y, env, _ = jrun(lambda e, x: agc_op.apply(e, x, 0.999),
+                         np.zeros(2, np.float32), x)
         for c in range(2):
             ref, env_ref, _ = G.agc(x[c].astype(np.complex128), 0.999)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, rtol=2e-4, atol=2e-5)
-            np.testing.assert_allclose(np.asarray(env)[c], env_ref, rtol=1e-4)
+            np.testing.assert_allclose(y[c], ref, rtol=2e-4, atol=2e-5)
+            np.testing.assert_allclose(env[c], env_ref, rtol=1e-4)
 
     def test_state_handoff(self, rng):
         x = _iq(rng, 1, 400)
-        whole, _, _ = agc_op.apply(agc_op.init_state(1), jnp.asarray(x), 0.995)
-        y1, e1, _ = agc_op.apply(agc_op.init_state(1), jnp.asarray(x[:, :150]), 0.995)
-        y2, _, _ = agc_op.apply(e1, jnp.asarray(x[:, 150:]), 0.995)
-        got = np.concatenate([np.asarray(y1), np.asarray(y2)], axis=-1)
-        np.testing.assert_allclose(got, np.asarray(whole), rtol=2e-4, atol=2e-5)
+        step = jwrap(lambda e, x: agc_op.apply(e, x, 0.995))
+        z = np.zeros(1, np.float32)
+        whole, _, _ = step(z, x)
+        y1, e1, _ = step(z, x[:, :150])
+        y2, _, _ = step(e1, x[:, 150:])
+        got = np.concatenate([y1, y2], axis=-1)
+        np.testing.assert_allclose(got, whole, rtol=2e-4, atol=2e-5)
 
 
 class TestOLS:
@@ -150,49 +163,52 @@ class TestOLS:
             op = OverlapSave(taps, hop=512)
             T = op.hop * 4
             x = _iq(rng, 2, T)
-            y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+            y, _ = jrun(lambda x, op=op: op(op.init_state(2), x), x)
             for c in range(2):
                 ref, _ = G.ols_filter(x[c].astype(np.complex128), taps)
-                np.testing.assert_allclose(np.asarray(y)[c], ref, atol=3e-4)
+                np.testing.assert_allclose(y[c], ref, atol=3e-4)
 
     def test_streaming(self, rng):
         taps = FD.lowpass_taps(129, 3000.0, 48000.0)
         op = OverlapSave(taps, hop=256)
         x = _iq(rng, 1, 4 * op.hop)
-        whole, _ = op(op.init_state(1), jnp.asarray(x))
-        st = op.init_state(1)
+        whole, _ = jrun(lambda x: op(op.init_state(1), x), x)
+        st = jrun(lambda: op.init_state(1))
+        step = jwrap(op)
         outs = []
         for blk in np.split(x, 4, axis=-1):
-            y, st = op(st, jnp.asarray(blk))
-            outs.append(np.asarray(y))
-        np.testing.assert_allclose(np.concatenate(outs, axis=-1), np.asarray(whole), atol=1e-5)
+            y, st = step(st, blk)
+            outs.append(y)
+        np.testing.assert_allclose(np.concatenate(outs, axis=-1), whole, atol=1e-5)
 
 
 class TestDemod:
     def test_dc_block_vs_golden(self, rng):
         x = (rng.standard_normal((2, 300)) + 0.5).astype(np.float32)
-        y, _ = demod_op.dc_block(demod_op.dc_block_init(2), jnp.asarray(x))
+        y, _ = jrun(lambda x: demod_op.dc_block(demod_op.dc_block_init(2), x), x)
         for c in range(2):
             ref, _ = G.dc_block(x[c].astype(np.float64))
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-4)
+            np.testing.assert_allclose(y[c], ref, atol=1e-4)
 
     def test_nfm_vs_golden(self, rng):
         x = np.exp(1j * np.cumsum(rng.standard_normal((2, 400)) * 0.1, axis=-1)).astype(np.complex64)
-        y, _ = demod_op.demod_nfm(jnp.ones(2, jnp.complex64), jnp.asarray(x), 48000.0, 2500.0)
+        y, _ = jrun(lambda x: demod_op.demod_nfm(jnp.ones(2, jnp.complex64), x,
+                                                 48000.0, 2500.0), x)
         for c in range(2):
             ref, _ = G.demod_nfm(x[c].astype(np.complex128), 48000.0, 2500.0)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=1e-3)
+            np.testing.assert_allclose(y[c], ref, atol=1e-3)
 
     def test_bank_selects_per_channel(self, rng):
         x = _iq(rng, 4, 256)
-        mode = jnp.asarray([demod_op.SSB, demod_op.CW, demod_op.AM, demod_op.NFM], jnp.int32)
-        tone = jnp.asarray(np.broadcast_to(nco.freq_word(600.0, 48000.0), (4,)).copy())
-        st = demod_op.bank_init(4)
-        y, _ = jax.jit(lambda s, x: demod_op.bank_apply(s, x, mode, tone, 48000.0))(st, jnp.asarray(x))
+        mode = np.asarray([demod_op.SSB, demod_op.CW, demod_op.AM, demod_op.NFM], np.int32)
+        tone = np.broadcast_to(nco.freq_word(600.0, 48000.0), (4,)).copy()
+        y, _ = jrun(lambda x: demod_op.bank_apply(demod_op.bank_init(4), x,
+                                                  jnp.asarray(mode),
+                                                  jnp.asarray(tone), 48000.0), x)
         # channel 0 must equal pure SSB demod; channel 3 pure NFM
-        np.testing.assert_allclose(np.asarray(y)[0], 2 * np.real(x[0]), atol=1e-5)
+        np.testing.assert_allclose(y[0], 2 * np.real(x[0]), atol=1e-5)
         ref_nfm, _ = G.demod_nfm(x[3].astype(np.complex128), 48000.0, 2500.0)
-        np.testing.assert_allclose(np.asarray(y)[3], ref_nfm, atol=1e-3)
+        np.testing.assert_allclose(y[3], ref_nfm, atol=1e-3)
 
 
 class TestSamGoldenParity:
@@ -202,19 +218,20 @@ class TestSamGoldenParity:
         t = np.arange(4096) / fs
         base = (1.0 + 0.8 * np.sin(2 * np.pi * 600.0 * t)) * np.exp(2j * np.pi * 90.0 * t)
         x = np.stack([base, 0.5 * base]).astype(np.complex64)
-        y, dc, acc = demod_op.demod_sam(
-            demod_op.dc_block_init(2), jnp.zeros((2, 2), jnp.float32), jnp.asarray(x), fs)
+        y, dc, acc = jrun(lambda x: demod_op.demod_sam(
+            demod_op.dc_block_init(2), jnp.zeros((2, 2), jnp.float32), x, fs), x)
         for c in range(2):
             ref, _, (ph, w) = G.demod_sam(x[c].astype(np.complex128), fs)
-            np.testing.assert_allclose(np.asarray(y)[c], ref, atol=2e-3)
-            np.testing.assert_allclose(float(np.asarray(acc)[1, c]), w, atol=1e-6)
+            np.testing.assert_allclose(y[c], ref, atol=2e-3)
+            np.testing.assert_allclose(float(acc[1, c]), w, atol=1e-6)
 
     def test_squelch_vs_golden(self, rng):
         audio = rng.standard_normal((1, 2048)).astype(np.float32) * 3.0
-        y, ns, is_open = demod_op.squelch(jnp.zeros(1, jnp.float32), jnp.asarray(audio))
+        y, ns, is_open = jrun(lambda a: demod_op.squelch(
+            jnp.zeros(1, jnp.float32), a), audio)
         ref_y, ref_ns, ref_open = G.squelch(audio[0].astype(np.float64))
-        np.testing.assert_allclose(np.asarray(y)[0], ref_y, atol=1e-4)
-        np.testing.assert_allclose(float(np.asarray(ns)[0]), ref_ns, rtol=1e-4)
+        np.testing.assert_allclose(y[0], ref_y, atol=1e-4)
+        np.testing.assert_allclose(float(ns[0]), ref_ns, rtol=1e-4)
         assert bool(np.asarray(is_open)[0]) == ref_open
 
 
@@ -230,14 +247,15 @@ def test_ols_bank_apply_selected_matches_full_bank(rng):
          FD.complex_bandpass_taps(513, -5000.0, 5000.0, 48e3)],
         hop=512)
     C, T = 6, 2048
-    x = jnp.asarray((rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T)))
-                    .astype(np.complex64))
-    row = jnp.asarray(np.arange(C) % 3, jnp.int32)
-    full, tail_a = bank(bank.init_state(C), x)
-    want = np.take_along_axis(np.asarray(full), np.asarray(row)[None, :, None], axis=0)[0]
-    got, tail_b = bank.apply_selected(bank.init_state(C), x, row)
-    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
-    np.testing.assert_array_equal(np.asarray(tail_a), np.asarray(tail_b))
+    x = (rng.standard_normal((C, T)) + 1j * rng.standard_normal((C, T))) \
+        .astype(np.complex64)
+    row = (np.arange(C) % 3).astype(np.int32)
+    full, tail_a = jrun(lambda x: bank(bank.init_state(C), x), x)
+    want = np.take_along_axis(full, row[None, :, None], axis=0)[0]
+    got, tail_b = jrun(lambda x: bank.apply_selected(
+        bank.init_state(C), x, jnp.asarray(row)), x)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_array_equal(tail_a, tail_b)
 
 
 class TestZoomSpectrum:
@@ -245,7 +263,7 @@ class TestZoomSpectrum:
         """Two tones 100 Hz apart at 192 kHz: unresolvable in a 1024-bin
         panorama (188 Hz/bin), cleanly split at zoom x16 (11.7 Hz/bin)."""
         from radioframe.ops import nco
-        from radioframe.ops.spectrum import Spectrum, ZoomSpectrum
+        from radioframe.ops.spectrum import ZoomSpectrum
 
         fs, Z, nfft = 192_000.0, 16, 1024
         f0 = 12_000.0
@@ -254,9 +272,10 @@ class TestZoomSpectrum:
         x = (np.exp(2j * np.pi * (f0 - 50.0) * t) +
              np.exp(2j * np.pi * (f0 + 50.0) * t)).astype(np.complex64)[None, :]
         zoom = ZoomSpectrum(nfft, Z)
-        word = jnp.asarray([nco.freq_word(f0, fs)], jnp.int32)
-        lines, _ = jax.jit(zoom)(zoom.init_state(1), jnp.asarray(x), word)
-        line = np.asarray(lines)[0, -1]
+        word = np.asarray([nco.freq_word(f0, fs)], np.int32)
+        lines, _ = jrun(lambda x: zoom(zoom.init_state(1), x,
+                                       jnp.asarray(word)), x)
+        line = lines[0, -1]
         # find the two peaks: they sit ±50 Hz from center at 11.7 Hz/bin
         res = fs / Z / nfft
         k = np.argsort(line)[::-1]
@@ -277,15 +296,17 @@ class TestZoomSpectrum:
         zoom = ZoomSpectrum(256, 4, avg=0.5)
         x = (rng.standard_normal((2, 8 * 1024)) +
              1j * rng.standard_normal((2, 8 * 1024))).astype(np.complex64)
-        word = jnp.asarray(nco.freq_word(np.array([1e3, -2e3]), 192e3))
-        whole, _ = zoom(zoom.init_state(2), jnp.asarray(x), word)
-        st = zoom.init_state(2)
+        word = np.asarray(nco.freq_word(np.array([1e3, -2e3]), 192e3))
+        whole, _ = jrun(lambda x: zoom(zoom.init_state(2), x,
+                                       jnp.asarray(word)), x)
+        st = jrun(lambda: zoom.init_state(2))
+        step = jwrap(lambda st, x: zoom(st, x, jnp.asarray(word)))
         outs = []
         for blk in np.split(x, 2, axis=-1):
-            lines, st = zoom(st, jnp.asarray(blk), word)
-            outs.append(np.asarray(lines))
+            lines, st = step(st, blk)
+            outs.append(lines)
         got = np.concatenate(outs, axis=1)
-        np.testing.assert_allclose(got, np.asarray(whole), atol=1e-3)
+        np.testing.assert_allclose(got, whole, atol=1e-3)
 
 
 class TestFastScans:
@@ -296,40 +317,40 @@ class TestFastScans:
         from radioframe.ops.scans import affine_const_ok, affine_scan, affine_scan_const
 
         C, T = 16, 1024
-        a_ch = jnp.asarray(rng.uniform(0.93, 0.999, C).astype(np.float32))
-        b = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
-        s0 = jnp.asarray(rng.standard_normal(C).astype(np.float32))
-        assert affine_const_ok(np.asarray(a_ch))
-        ref = affine_scan(jnp.broadcast_to(a_ch[:, None], (C, T)), b, s0)
-        got = affine_scan_const(a_ch, b, s0)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
+        a_ch = rng.uniform(0.93, 0.999, C).astype(np.float32)
+        b = rng.standard_normal((C, T)).astype(np.float32)
+        s0 = rng.standard_normal(C).astype(np.float32)
+        assert affine_const_ok(a_ch)
+        ref = jrun(lambda a, b, s: affine_scan(
+            jnp.broadcast_to(a[:, None], (C, T)), b, s), a_ch, b, s0)
+        got = jrun(affine_scan_const, a_ch, b, s0)
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
     def test_affine_const_zero_rows_exact(self, rng):
         from radioframe.ops.scans import affine_scan_const
 
         C, T = 8, 512
-        a_ch = jnp.asarray(np.r_[np.zeros(4), np.full(4, 0.98)].astype(np.float32))
-        b = jnp.asarray(rng.standard_normal((C, T)).astype(np.float32))
-        s0 = jnp.zeros((C,), jnp.float32)
-        got = affine_scan_const(a_ch, b, s0)
+        a_ch = np.r_[np.zeros(4), np.full(4, 0.98)].astype(np.float32)
+        b = rng.standard_normal((C, T)).astype(np.float32)
+        s0 = np.zeros((C,), np.float32)
+        got = jrun(affine_scan_const, a_ch, b, s0)
         # a == 0 rows: s[n] == b[n] exactly (instant)
-        np.testing.assert_array_equal(np.asarray(got)[:4], np.asarray(b)[:4])
+        np.testing.assert_array_equal(got[:4], b[:4])
 
     def test_maxdecay_const_matches(self, rng):
         from radioframe.ops.scans import (maxdecay_const_ok, maxdecay_scan,
                                           maxdecay_scan_const)
 
         C, T = 16, 2048
-        a_ch = jnp.asarray(np.exp(-1.0 / (rng.uniform(0.25, 0.8, C) * 15000.0))
-                           .astype(np.float32))
-        v = jnp.asarray(np.abs(rng.standard_normal((C, T))).astype(np.float32))
-        s0 = jnp.asarray(np.abs(rng.standard_normal(C)).astype(np.float32))
-        assert maxdecay_const_ok(np.asarray(a_ch), T)
-        ref = maxdecay_scan(jnp.broadcast_to(a_ch[:, None], (C, T)), v, s0)
-        got = maxdecay_scan_const(a_ch, v, s0)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=1e-4, atol=1e-5)
+        a_ch = np.exp(-1.0 / (rng.uniform(0.25, 0.8, C) * 15000.0)) \
+            .astype(np.float32)
+        v = np.abs(rng.standard_normal((C, T))).astype(np.float32)
+        s0 = np.abs(rng.standard_normal(C)).astype(np.float32)
+        assert maxdecay_const_ok(a_ch, T)
+        ref = jrun(lambda a, v, s: maxdecay_scan(
+            jnp.broadcast_to(a[:, None], (C, T)), v, s), a_ch, v, s0)
+        got = jrun(maxdecay_scan_const, a_ch, v, s0)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
     def test_ok_guards(self):
         from radioframe.ops.scans import affine_const_ok, maxdecay_const_ok
@@ -353,12 +374,14 @@ class TestOlsMxuDft:
         a = OverlapSaveBank(taps, hop=512, mxu_dft=False)
         b = OverlapSaveBank(taps, hop=512, mxu_dft=True)
         C, T = 3, 2048
-        x = jnp.asarray((rng.standard_normal((C, T))
-                         + 1j * rng.standard_normal((C, T))).astype(np.complex64))
-        row = jnp.asarray([0, 1, 0], jnp.int32)
-        ya, _ = a.apply_selected(a.init_state(C), x, row)
-        yb, _ = b.apply_selected(b.init_state(C), x, row)
-        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya), atol=2e-5)
-        fa, _ = a(a.init_state(C), x)
-        fb, _ = b(b.init_state(C), x)
-        np.testing.assert_allclose(np.asarray(fb), np.asarray(fa), atol=2e-5)
+        x = (rng.standard_normal((C, T))
+             + 1j * rng.standard_normal((C, T))).astype(np.complex64)
+        row = np.asarray([0, 1, 0], np.int32)
+        ya, _ = jrun(lambda x: a.apply_selected(a.init_state(C), x,
+                                                jnp.asarray(row)), x)
+        yb, _ = jrun(lambda x: b.apply_selected(b.init_state(C), x,
+                                                jnp.asarray(row)), x)
+        np.testing.assert_allclose(yb, ya, atol=2e-5)
+        fa, _ = jrun(lambda x: a(a.init_state(C), x), x)
+        fb, _ = jrun(lambda x: b(b.init_state(C), x), x)
+        np.testing.assert_allclose(fb, fa, atol=2e-5)

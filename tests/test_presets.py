@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+from conftest import jrun
 
 from radioframe.core import presets
 from radioframe.diag.metrics import audio_snr_db
@@ -22,8 +23,9 @@ def test_adc_rate_ddc_ssb():
     tone = np.exp(2j * np.pi * (12_345_000.0 + 1000.0) * t).astype(np.complex64)
     words = jnp.asarray([nco.freq_word(12_345_000.0, fs)], jnp.int32)
     mode = jnp.asarray([demod_op.SSB], jnp.int32)
-    st = chain.init_state(1)
-    st, audio, _ = jax.jit(chain.step)(st, jnp.asarray(tone[None, :]), words, mode)
+    st, audio, _ = jrun(lambda iq, w, m: chain.step(chain.init_state(1),
+                                                     iq, w, m),
+                        tone[None, :], words, mode)
     audio = np.asarray(audio)[0]
     ref = np.cos(2 * np.pi * 1000.0 * np.arange(len(audio)) / 48_000.0)
     snr = audio_snr_db(ref, audio, trim=len(audio) // 8)

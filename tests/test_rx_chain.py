@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.core.config import CicStage, FirStage, RxConfig
 from radioframe.diag.metrics import audio_snr_db
@@ -67,9 +68,9 @@ class TestConfig1SSB:
         chain = RxChain(cfg)
         words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
-        step = jax.jit(chain.step)
-        st = chain.init_state(1)
-        st, audio, aux = step(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        st, audio, aux = jrun(lambda iq, w, m: chain.step(
+            chain.init_state(1), iq, w, m),
+            iq[None, :].astype(np.complex64), words, mode)
         audio = np.asarray(audio)[0]
         snr_jax = audio_snr_db(truth, audio)
         golden = golden_chain(chain, iq, 37_000.0, "ssb")
@@ -85,13 +86,13 @@ class TestConfig1SSB:
         chain = RxChain(cfg)
         words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
-        step = jax.jit(chain.step)
-        st = chain.init_state(1)
-        _, whole, _ = step(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
-        st = chain.init_state(1)
+        step = jwrap(chain.step)
+        st = jrun(lambda: chain.init_state(1))
+        _, whole, _ = step(st, iq[None, :].astype(np.complex64), words, mode)
+        st = jrun(lambda: chain.init_state(1))
         outs = []
         for blk in np.split(iq, 8):
-            st, a, _ = step(st, jnp.asarray(blk[None, :], jnp.complex64), words, mode)
+            st, a, _ = step(st, blk[None, :].astype(np.complex64), words, mode)
             outs.append(np.asarray(a))
         got = np.concatenate(outs, axis=-1)
         whole = np.asarray(whole)
@@ -119,10 +120,9 @@ class TestConfig2ModeBank:
         chain = RxChain(cfg)
         words = jnp.asarray(nco.freq_word([37_000.0, 70_000.0, 20_000.0, -15_000.0], FS))
         mode = jnp.asarray([demod_op.SSB, demod_op.CW, demod_op.AM, demod_op.NFM], jnp.int32)
-        step = jax.jit(chain.step)
-        st = chain.init_state(4)
         # shared wideband input broadcast across channels
-        st, audio, _ = step(st, jnp.asarray(wideband[None, :]), words, mode)
+        st, audio, _ = jrun(lambda iq, w, m: chain.step(
+            chain.init_state(4), iq, w, m), wideband[None, :], words, mode)
         audio = np.asarray(audio)
         # score steady state: the AM dc-blocker turn-on transient pumps the
         # AGC (gain recovers over release_s=0.5 s — correct behavior, but a
@@ -157,8 +157,8 @@ class TestLSB:
         chain = RxChain(RxConfig(channels=1))
         words = jnp.asarray([nco.freq_word(30_000.0, FS)], jnp.int32)
         mode = jnp.asarray([demod_op.LSB], jnp.int32)
-        st = chain.init_state(1)
-        _, audio, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :]), words, mode)
+        _, audio, _ = jrun(lambda iq, w, m: chain.step(
+            chain.init_state(1), iq, w, m), iq[None, :], words, mode)
         snr = audio_snr_db(truth, np.asarray(audio)[0])
         assert snr > 25.0, f"LSB SNR {snr:.1f} dB"
 
@@ -171,10 +171,10 @@ class TestLSB:
         tx = TxChain(TxConfig(channels=1, compressor_max_gain=1.0))
         st = tx.init_state(1)
         for m, expect_side in (("ssb", +1), ("lsb", -1)):
-            st0 = tx.init_state(1)
             w = jnp.asarray([0], jnp.int32)
             mm = jnp.asarray([demod_op.MODE_NAMES[m]], jnp.int32)
-            _, iq = jax.jit(tx.step)(st0, jnp.asarray(audio[None, :], jnp.float32), w, mm)
+            _, iq = jrun(lambda a, w, m: tx.step(tx.init_state(1), a, w, m),
+                         audio[None, :].astype(np.float32), w, mm)
             X = np.fft.fft(np.asarray(iq)[0])
             f = np.fft.fftfreq(len(X), 1 / 192_000.0)
             pos = np.sum(np.abs(X[f > 100]) ** 2)
@@ -192,8 +192,9 @@ class TestSamSquelch:
         chain = RxChain(RxConfig(channels=1))
         words = jnp.asarray([nco.freq_word(20_120.0, FS)], jnp.int32)  # 120 Hz off
         mode = jnp.asarray([demod_op.SAM], jnp.int32)
-        st = chain.init_state(1)
-        st, audio, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        st, audio, _ = jrun(lambda iq, w, m: chain.step(
+            chain.init_state(1), iq, w, m),
+            iq[None, :].astype(np.complex64), words, mode)
         audio = np.asarray(audio)
         settle = 32 * 1024
         snr_sam = audio_snr_db(truth[settle:], audio[0][settle:], trim=1024)
@@ -212,16 +213,16 @@ class TestSamSquelch:
         mode = jnp.asarray([demod_op.NFM], jnp.int32)
         rng = np.random.default_rng(3)
         noise = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64) * 0.1
-        st = chain.init_state(1)
-        step = jax.jit(chain.step)
+        st = jrun(lambda: chain.init_state(1))
+        step = jwrap(chain.step)
         # two noise blocks: the squelch estimate converges, audio mutes
         for _ in range(3):
-            st, audio, _ = step(st, jnp.asarray(noise[None, :]), words, mode)
+            st, audio, _ = step(st, noise[None, :], words, mode)
         assert np.mean(np.abs(np.asarray(audio))) < 1e-6, "squelch failed to mute noise"
         # now a real NFM signal opens the squelch (estimate decays over blocks)
         iq, truth = FX.nfm_capture(FS, n, -15_000.0)
         for _ in range(6):
-            st, audio, _ = step(st, jnp.asarray(iq[None, :]), words, mode)
+            st, audio, _ = step(st, iq[None, :], words, mode)
         assert np.mean(np.abs(np.asarray(audio))) > 0.05, "squelch failed to open"
 
 
@@ -295,7 +296,7 @@ class TestFusedBackend:
                 iq[c] = np.exp(2j * np.pi * (1000.0 + 37.0 * c) * t)
         iq += 0.05 * (rng.standard_normal((C, T))
                       + 1j * rng.standard_normal((C, T)))
-        return jnp.asarray(iq.astype(np.complex64))
+        return iq.astype(np.complex64)
 
     @pytest.mark.parametrize("attack", [False, True])
     def test_matches_dense_streaming(self, rng, attack):
@@ -309,12 +310,13 @@ class TestFusedBackend:
         words = jnp.asarray(nco.freq_word(np.zeros(C), cfg_d.fs_in))
         mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
         iq = self._iq_fixture(rng, C, 3 * T, cfg_d.fs_in)
-        st_d, st_f = dense.init_state(C), fused.init_state(C)
+        st_d = jrun(lambda: dense.init_state(C))
+        st_f = jrun(lambda: fused.init_state(C))
+        step_d, step_f = jwrap(dense.step), jwrap(fused.step)
         outs = [[], []]
         for i, b in enumerate(np.split(np.asarray(iq), 3, axis=-1)):
-            b = jnp.asarray(b)
-            st_d, a_d, x_d = jax.jit(dense.step)(st_d, b, words, mode)
-            st_f, a_f, x_f = jax.jit(fused.step)(st_f, b, words, mode)
+            st_d, a_d, x_d = step_d(st_d, b, words, mode)
+            st_f, a_f, x_f = step_f(st_f, b, words, mode)
             if i == 0:
                 continue  # filter/AGC warm-up: near-zero signals x max_gain
                 # amplify fp noise (same skip as the other chain tests)

@@ -6,6 +6,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+from conftest import jrun, jwrap
 
 from radioframe.core.config import RxConfig
 from radioframe.core.stream import BlockStream, wav_blocks
@@ -27,10 +28,13 @@ class TestBlockStream:
         words = jnp.asarray([nco.freq_word(37_000.0, FS)], jnp.int32)
         mode = jnp.asarray([demod_op.SSB], jnp.int32)
 
-        st = chain.init_state(1)
-        _, whole, _ = jax.jit(chain.step)(st, jnp.asarray(iq[None, :], jnp.complex64), words, mode)
+        _, whole, _ = jrun(lambda iq, w, m: chain.step(
+            chain.init_state(1), iq, w, m),
+            iq[None, :].astype(np.complex64), words, mode)
 
-        bs = BlockStream(chain.step, chain.init_state(1), donate=False)
+        # device-resident state (complex leaves never cross the host)
+        bs = BlockStream(chain.step, jax.jit(lambda: chain.init_state(1))(),
+                         donate=False)
         outs, auxs = bs.run((b[None, :] for b in np.split(iq, 8)), words, mode)
         got = np.concatenate([np.asarray(o) for o in outs], axis=-1)
         np.testing.assert_allclose(got[:, 512:], np.asarray(whole)[:, 512:], atol=2e-5)
@@ -39,8 +43,9 @@ class TestBlockStream:
     def test_stage_timer(self):
         t = StageTimer()
         x = jnp.ones((128, 128))
-        with t.stage("mul", sync_on=x * 2):
-            y = x * 2
+        mul = jax.jit(lambda v: v * 2)  # jitted: no eager op-by-op dispatch
+        with t.stage("mul", sync_on=mul(x)):
+            y = mul(x)
         assert "mul" in t.report()
         assert sync_value(y) == 2 * 128 * 128
 
@@ -130,7 +135,7 @@ class TestMonitorApi:
         T = 2 * mon.chain.min_block
         wide = (rng.standard_normal(T)
                 + 1j * rng.standard_normal(T)).astype(np.complex64)
-        audio = mon.process(jnp.asarray(wide))
+        audio = mon.process(wide)
         assert audio.shape == (M, T // M)
         assert mon.waterfall() is not None
         assert mon.channel_power().shape == (M,)
@@ -140,9 +145,8 @@ class TestMonitorApi:
         chain = ChannelizerChain(cfg)
         mode = np.full(M, 0, np.int32)
         mode[5] = 2
-        _, a_ref, _ = jax.jit(chain.step)(chain.init_state(),
-                                          jnp.asarray(wide),
-                                          jnp.asarray(mode))
+        _, a_ref, _ = jrun(lambda w, m: chain.step(chain.init_state(), w, m),
+                           wide, mode)
         np.testing.assert_array_equal(audio, np.asarray(a_ref))
 
     def test_monitor_sharded(self):
@@ -164,7 +168,7 @@ class TestMonitorApi:
         T = D * 2 * mon.chain.min_block
         wide = (rng.standard_normal(T)
                 + 1j * rng.standard_normal(T)).astype(np.complex64)
-        audio = mon.process(jnp.asarray(wide))
+        audio = mon.process(wide)
         assert audio.shape == (M, T // M)
 
     def test_cli_monitor(self, tmp_path):

@@ -8,6 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from conftest import jrun, jwrap
 
 from radioframe.core.config import RxConfig, TxConfig
 from radioframe.diag.metrics import audio_snr_db
@@ -28,7 +29,7 @@ class TestInterpolator:
         taps = FD.interp_taps(64 * L + 1, L, FS_IQ, 3000.0)
         op = FirInterpolator(taps, L)
         x = (rng.standard_normal((2, 256)) + 1j * rng.standard_normal((2, 256))).astype(np.complex64)
-        y, _ = jax.jit(op)(op.init_state(2), jnp.asarray(x))
+        y, _ = jrun(lambda x: op(op.init_state(2), x), x)
         for c in range(2):
             ref, _ = G.interpolate(x[c].astype(np.complex128), L, taps)
             np.testing.assert_allclose(np.asarray(y)[c], ref[: y.shape[-1]], atol=1e-4)
@@ -38,11 +39,12 @@ class TestInterpolator:
         taps = FD.interp_taps(97, L, 144_000.0, 3000.0)
         op = FirInterpolator(taps, L)
         x = (rng.standard_normal((1, 300)) + 1j * rng.standard_normal((1, 300))).astype(np.complex64)
-        whole, _ = op(op.init_state(1), jnp.asarray(x))
-        st = op.init_state(1)
+        whole, _ = jrun(lambda x: op(op.init_state(1), x), x)
+        st = jrun(lambda: op.init_state(1))
+        step = jwrap(op)
         outs = []
         for blk in np.split(x, 3, axis=-1):
-            y, st = op(st, jnp.asarray(blk))
+            y, st = step(st, blk)
             outs.append(np.asarray(y))
         np.testing.assert_allclose(np.concatenate(outs, axis=-1), np.asarray(whole), atol=1e-5)
 
@@ -61,14 +63,14 @@ class TestDuplexLoopback:
         tx_words = jnp.asarray([nco.freq_word(tx_off, FS_IQ)], jnp.int32)
         rx_words = jnp.asarray([nco.freq_word(rx_off, FS_IQ)], jnp.int32)
         m = jnp.asarray([demod_op.MODE_NAMES[mode_name]], jnp.int32)
-        step = jax.jit(dpx.step)
-        st = dpx.init_state(C)
+        step = jwrap(dpx.step)
+        st = jrun(lambda: dpx.init_state(C))
         # first pass: transmit (rx input zeros), then feed tx_iq back into rx
-        zeros_iq = jnp.zeros((C, Ta * 4), jnp.complex64)
-        st, _, tx_iq, _ = step(st, zeros_iq, jnp.asarray(audio[None, :], jnp.float32),
+        zeros_iq = np.zeros((C, Ta * 4), np.complex64)
+        st, _, tx_iq, _ = step(st, zeros_iq, audio[None, :].astype(np.float32),
                                rx_words, m, tx_words, m)
-        st2 = dpx.init_state(C)
-        st2, rx_audio, _, _ = step(st2, tx_iq, jnp.zeros((C, Ta), jnp.float32),
+        st2 = jrun(lambda: dpx.init_state(C))
+        st2, rx_audio, _, _ = step(st2, tx_iq, np.zeros((C, Ta), np.float32),
                                    rx_words, m, tx_words, m)
         return np.asarray(rx_audio)[0]
 
