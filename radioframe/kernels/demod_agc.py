@@ -83,7 +83,7 @@ def _atan2(y, x, coeffs=_ATAN_C15):
 
 
 def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
-            en_nfm, alphas,
+            en_nfm, alphas, apply_agc,
             yr_ref, yi_ref, mode_ref, cw_word_ref, cw_acc_ref, rel_ref,
             al_ref, tgt_ref, mg_ref, ltri_ref, atri_ref, dcol_ref, st_in_ref,
             pa_ref, pinv_ref, pc_ref, ps_ref,
@@ -102,7 +102,8 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
         dev_scale, yr_ref[...], yi_ref[...], mode_ref[...], cw_word_ref[...],
         cw_acc_ref[...], rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
         ltri_ref, atri_ref, dcol_ref, carry_ref,
-        pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]))
+        pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]),
+        apply_agc=apply_agc)
     audio_ref[...] = audio
     wf_ref[...] = wf[None]
 
@@ -329,7 +330,12 @@ class FusedDemodAgc:
 
     def __init__(self, M: int, fs_channel: float, nfm_deviation_hz: float,
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
-                 attack_alphas: tuple = (), interpret: bool = False):
+                 attack_alphas: tuple = (), interpret: bool = False,
+                 apply_agc: bool = True):
+        # apply_agc=False: demod-only (pre-gain audio out; AGC applied by
+        # the caller in XLA — the hang-capable dense bank or the sharded
+        # cross-shard completion; see demod_agc_tile doc)
+        self.apply_agc = bool(apply_agc)
         self.M = int(M)
         from radioframe.kernels.pfb_dft import fused_channels_ok
 
@@ -392,7 +398,8 @@ class FusedDemodAgc:
         kern = functools.partial(
             _kernel, TF, M, grid, self.fs, self.dev_scale, self.wf_avg,
             demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
-            demod_op.AM in en, demod_op.NFM in en, self.attack_alphas)
+            demod_op.AM in en, demod_op.NFM in en, self.attack_alphas,
+            self.apply_agc)
         row = lambda a, dt: jnp.asarray(a, dt).reshape(1, M)
         wf_rows = F // self.wf_avg
         wf_block = TF // self.wf_avg

@@ -125,6 +125,7 @@ class ChannelizerChain:
             assert cfg.spectrum_avg == 0.0, (
                 "waterfall_from_pfb uses linear frame averaging "
                 "(waterfall_frame_avg), not the dB-domain EMA")
+        self.agc_in_xla = False  # set by the fuse_demod branch (hang route)
         self.min_block = cfg.num_channels * max(cfg.taps_per_channel, 1)
         if cfg.waterfall_from_pfb and cfg.waterfall_frame_avg > 1:
             self.min_block = int(np.lcm(self.min_block,
@@ -147,18 +148,23 @@ class ChannelizerChain:
             assert demod_op.SAM not in en, (
                 "fuse_demod: SAM needs whole-block stats; use the dense bank")
             # hang (sliding-window max, window up to seconds of frames)
-            # stays dense-only: the carried (Wmax-1, M) envelope history
-            # would dominate the kernel's VMEM budget — documented in
-            # CAPABILITIES.md §2.1 #8. Attack IS supported in-kernel
-            # (distinct-alpha triangular MXU prefixes, r4).
-            assert self.agc_bank.hist_len == 0, (
-                "fuse_demod AGC has no hang support; set hang_s=0 or "
-                "disable fuse_demod (the dense bank is exact)")
+            # CANNOT run exactly in one kernel pass with sub-history VMEM:
+            # a two-level van Herk ring of per-tile maxima quantizes the
+            # window to the tile size — exactness needs the SUFFIX ARRAY
+            # of the window-start tile, i.e. the full (Wmax-1, M) mag
+            # history resident (r5 analysis; VERDICT r4 ask #5). So with
+            # hang the kernel runs DEMOD-ONLY (apply_agc=False) and the
+            # hang-capable dense AgcBank applies in XLA on the audio —
+            # the fused paths now support hang_s > 0 at the cost of the
+            # XLA AGC stage. Attack/release stay in-kernel when hang is
+            # off (distinct-alpha triangular MXU prefixes, r4).
+            self.agc_in_xla = self.agc_bank.hist_len > 0
             self.demod_kernel = FusedDemodAgc(
                 cfg.num_channels, cfg.fs_channel, cfg.nfm_deviation_hz,
                 wf_avg=cfg.waterfall_frame_avg, enabled=en,
                 attack_alphas=tuple(self.agc_bank.alpha.tolist()),
-                interpret=_jax.default_backend() == "cpu")
+                interpret=_jax.default_backend() == "cpu",
+                apply_agc=not self.agc_in_xla)
             self.one_kernel = None
             if cfg.fuse_single_pass:
                 from radioframe.kernels.channelizer_one import FusedChannelizerOne
@@ -169,8 +175,10 @@ class ChannelizerChain:
                     enabled=en,
                     attack_alphas=tuple(self.agc_bank.alpha.tolist()),
                     interpret=_jax.default_backend() == "cpu",
-                    dft_precision=cfg.dft_precision)
-            if not self.demod_kernel.release_ok(self.agc_bank.release):
+                    dft_precision=cfg.dft_precision,
+                    apply_agc=not self.agc_in_xla)
+            if not self.agc_in_xla and \
+                    not self.demod_kernel.release_ok(self.agc_bank.release):
                 # ADVICE r3: the in-kernel release rescale rel**(-f1) must
                 # stay bounded across a frame tile (see FusedDemodAgc
                 # .release_ok) — same guard the dense path applies via
@@ -304,6 +312,14 @@ class ChannelizerChain:
         # decomposed as the fast 2D transpose + a major-axes block swap
         # (minor dim F untouched — no lane movement; XLA fuses the pair)
         audio = audio_fm.T.reshape(M1, M2, F).swapaxes(0, 1).reshape(M, F)
+        if self.agc_in_xla:
+            # hang route (r5): the kernel emitted PRE-gain demod audio;
+            # the hang-capable dense AgcBank applies here, carrying its
+            # (Wmax-1) mag history across blocks — exact dense parity
+            agc_audio, xla_agc_state, _ = self.agc_bank.apply(
+                state["agc"], audio, mode)
+            audio = jnp.where((mode == demod_op.NFM)[:, None],
+                              audio, agc_audio)
         aux = {"channel_power": to_channel(power_sum) / jnp.float32(F)}
         db = 10.0 * jnp.log10(jnp.maximum(wfp, 1e-24)).astype(jnp.float32)
         wf = jnp.transpose(db.reshape(-1, M1, M2), (0, 2, 1)).reshape(db.shape)
@@ -312,8 +328,9 @@ class ChannelizerChain:
                      "am_dc": to_channel(nd_n["am_dc"]),
                      "nfm_last": to_channel(nd_n["nfm_last"]),
                      "sam_dc": nd_n["sam_dc"], "sam_carrier": nd_n["sam_carrier"]}
-        new_agc = {"hist": (), "env": to_channel(na_n["env"]),
-                   "lpf": to_channel(na_n["lpf"])}
+        new_agc = (xla_agc_state if self.agc_in_xla else
+                   {"hist": (), "env": to_channel(na_n["env"]),
+                    "lpf": to_channel(na_n["lpf"])})
         new_state = {"pfb": pfb_tail, "demod": new_demod, "agc": new_agc,
                      "spec": state["spec"]}
         return new_state, audio, aux

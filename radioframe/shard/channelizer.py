@@ -110,6 +110,12 @@ class ShardedChannelizer:
         if chain.one_kernel is not None:
             from radioframe.kernels.channelizer_one import FusedChannelizerOne
 
+            if chain.agc_bank.hist_len:
+                raise ValueError(
+                    "sharded fuse_single_pass has no hang AGC: the hang "
+                    "history halo can exceed a time shard's local length; "
+                    "set hang_s=0 or use the two-kernel sharded path "
+                    "(dense AGC, hang-capable)")
             cfg = chain.cfg
             en = (cfg.enabled_modes if cfg.enabled_modes is not None
                   else tuple(range(demod_op.SAM + 1)))
@@ -125,8 +131,11 @@ class ShardedChannelizer:
         # device owns M/D channels after the all_to_all, so it runs its own
         # kernel instance sized M/D; per-channel constants/state arrive
         # pre-sliced through the shard_map specs. The dense bank remains the
-        # SAM/EMA fallback (chain.demod_kernel is None then).
-        if chain.demod_kernel is not None:
+        # SAM/EMA fallback (chain.demod_kernel is None then) — and the hang
+        # fallback: with hang_s > 0 (chain.agc_in_xla) the dense sharded
+        # path applies the hang-capable AgcBank on channel-sharded audio
+        # with full time locality (hist sliced by the state specs).
+        if chain.demod_kernel is not None and not chain.agc_in_xla:
             import jax as _jax
 
             from radioframe.kernels.demod_agc import FusedDemodAgc

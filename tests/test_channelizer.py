@@ -593,6 +593,92 @@ class TestFusedAttackAgc:
                                    np.asarray(st_u["agc"]["lpf"]), atol=2e-4)
 
 
+class TestFusedHangAgc:
+    """VERDICT r4 ask #5: hang AGC on the fused paths. Exact one-pass
+    in-kernel hang would need the full (Wmax-1, M) mag history in VMEM (a
+    two-level van-Herk ring of per-tile maxima quantizes the window — the
+    window-start tile's SUFFIX ARRAY is required for exactness), so with
+    hang_s > 0 the kernel runs demod-only and the hang-capable dense
+    AgcBank applies in XLA (chain.agc_in_xla). Fused == dense, streaming
+    (hist carry handoff), for both the two-kernel and single-pass forms."""
+
+    def _cfgs(self, M, single):
+        from radioframe.core.config import AgcConfig
+
+        agc_modes = (
+            AgcConfig(release_s=0.5, attack_s=0.002, hang_s=0.01),   # SSB
+            AgcConfig(release_s=0.25, hang_s=0.005),                 # CW
+            AgcConfig(release_s=0.8, attack_s=0.005, hang_s=0.02),   # AM
+            AgcConfig(),                                             # NFM
+            AgcConfig(release_s=0.5, attack_s=0.002, hang_s=0.01),   # LSB
+            AgcConfig(release_s=0.8, hang_s=0.02),                   # SAM
+        )
+        base = dict(fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+                    waterfall_from_pfb=True, waterfall_frame_avg=4,
+                    fuse_pfb=True, enabled_modes=(0, 1, 2, 3),
+                    agc_modes=agc_modes)
+        return (ChannelizerConfig(**base),
+                ChannelizerConfig(**base, fuse_demod=True,
+                                  fuse_single_pass=single))
+
+    @pytest.mark.parametrize("single", [False, True])
+    def test_hang_parity_streaming(self, rng, single):
+        M = 64
+        dense_cfg, fused_cfg = self._cfgs(M, single)
+        dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
+        assert fused.agc_in_xla and fused.agc_bank.hist_len > 0
+        assert not fused.demod_kernel.apply_agc
+        if single:
+            assert not fused.one_kernel.apply_agc
+        T = 4 * dense.min_block
+        wide = _wideband(rng, 2 * T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        outs, states = [], []
+        for chain in (dense, fused):
+            st = jrun(chain.init_state)
+            step = jwrap(chain.step)
+            audios = []
+            for b in np.split(wide, 2):
+                st, a, _ = step(st, b, mode)
+                audios.append(np.asarray(a))
+            outs.append(np.concatenate(audios, axis=-1))
+            states.append(st)
+        W = dense.pfb.K
+        np.testing.assert_allclose(outs[1][:, W:], outs[0][:, W:], atol=2e-4)
+        for leaf in ("env", "lpf", "hist"):
+            np.testing.assert_allclose(np.asarray(states[1]["agc"][leaf]),
+                                       np.asarray(states[0]["agc"][leaf]),
+                                       atol=2e-4, err_msg=f"agc.{leaf}")
+
+    def test_sharded_hang_falls_back_to_dense(self):
+        """Two-kernel sharded path with hang: the per-shard fused kernel is
+        skipped (dense hang-capable AGC runs); single-pass sharded raises
+        with a named reason."""
+        M, D = 64, 4
+        dense_cfg, fused_cfg = self._cfgs(M, False)
+        chain = ChannelizerChain(fused_cfg)
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.demod_kernel is None  # dense AGC path active
+        _, one_cfg = self._cfgs(M, True)
+        with pytest.raises(ValueError, match="hang"):
+            ShardedChannelizer(ChannelizerChain(one_cfg), mesh)
+        # and the dense sharded path actually matches the unsharded dense
+        # chain with hang in play (hist halo-free: channels sharded, time
+        # whole per shard)
+        rng = np.random.default_rng(5)
+        T = D * 2 * chain.min_block
+        wide = _wideband(rng, T)
+        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        dense = ChannelizerChain(dense_cfg)
+        _, a_u, _ = jrun(lambda w, m: dense.step(dense.init_state(), w, m),
+                         wide, mode)
+        st_s, a_s, _ = jwrap(sharded.step)(jrun(chain.init_state), wide, mode)
+        W = chain.pfb.K
+        np.testing.assert_allclose(np.asarray(a_s)[:, W:],
+                                   np.asarray(a_u)[:, W:], atol=2e-4)
+
+
 class TestSinglePassChannelizer:
     """kernels/channelizer_one.py: the whole channelizer in one VMEM pass
     == the two-kernel fused path == the dense path, streaming, including
