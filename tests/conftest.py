@@ -48,12 +48,28 @@ def _is_marker(x):
     return isinstance(x, dict) and "__c_re" in x
 
 
+_REIM_JIT = None
+
+
 def _split_host(x):
     if hasattr(x, "dtype") and np.iscomplexobj(x):
+        if isinstance(x, jax.Array):
+            # device-resident complex: split ON DEVICE and fetch f32
+            # planes (np.asarray on complex would be the failing transfer)
+            global _REIM_JIT
+            if _REIM_JIT is None:
+                _REIM_JIT = jax.jit(lambda a: (jnp.real(a), jnp.imag(a)))
+            re, im = _REIM_JIT(x)
+            return {"__c_re": np.asarray(re), "__c_im": np.asarray(im)}
         xn = np.asarray(x)
         return {"__c_re": np.ascontiguousarray(xn.real, np.float32),
                 "__c_im": np.ascontiguousarray(xn.imag, np.float32)}
     return x
+
+
+def to_host(tree):
+    """Fetch a pytree to numpy with plane-safe complex crossings."""
+    return jax.tree.map(lambda x: _join_host(_split_host(x)), tree)
 
 
 def _join_host(x):

@@ -195,15 +195,17 @@ class TestCheckpointMigration:
 
         from radioframe.core.checkpoint import StreamCheckpointer
 
+        from conftest import jrun, jwrap, to_host
+
         chain, words, mode = self._chain()
-        st = chain.init_state(2)
-        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
-                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
-        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+        iq = (rng.standard_normal((2, 2048)) +
+              1j * rng.standard_normal((2, 2048))).astype(np.complex64)
+        step = jwrap(chain.step)
+        st, _, _ = step(jrun(lambda: chain.init_state(2)), iq, words, mode)
 
         ck = StreamCheckpointer(str(tmp_path / "ck"))
         ck.save(0, self._forge_v1(st), version=1)
-        restored = ck.restore(0, chain.init_state(2))
+        restored = to_host(ck.restore(0, jrun(lambda: chain.init_state(2))))
         # structure matches the current schema; migrated leaves preserved
         np.testing.assert_array_equal(np.asarray(restored["agc"]["env"]),
                                       np.asarray(st["agc"]["env"]))
@@ -212,9 +214,8 @@ class TestCheckpointMigration:
         assert restored["deemph"] == () and restored["agc"]["hist"] == ()
         # the stream continues: migrated state == native state, bit-exact
         # (lpf is inert at instant attack)
-        st2a, a, _ = jax.jit(chain.step)(st, iq, words, mode)
-        st2b, b, _ = jax.jit(chain.step)(
-            jax.tree.map(jnp.asarray, restored), iq, words, mode)
+        st2a, a, _ = step(st, iq, words, mode)
+        st2b, b, _ = step(restored, iq, words, mode)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_unversioned_round1_checkpoint_migrates(self, tmp_path, rng):
@@ -224,17 +225,19 @@ class TestCheckpointMigration:
 
         from radioframe.core.checkpoint import StreamCheckpointer
 
+        from conftest import jrun, jwrap
+
         chain, words, mode = self._chain()
-        st = chain.init_state(2)
-        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
-                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
-        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+        iq = (rng.standard_normal((2, 2048)) +
+              1j * rng.standard_normal((2, 2048))).astype(np.complex64)
+        st, _, _ = jwrap(chain.step)(jrun(lambda: chain.init_state(2)),
+                                     iq, words, mode)
         ck = StreamCheckpointer(str(tmp_path / "ck"))
         # simulate a round-1 file: raw state, no version wrapper
         raw_ckptr = ocp.StandardCheckpointer()
         raw_ckptr.save(ck._path(3), self._forge_v1(st), force=True)
         raw_ckptr.wait_until_finished()
-        restored = ck.restore(3, chain.init_state(2))
+        restored = ck.restore(3, jrun(lambda: chain.init_state(2)))
         np.testing.assert_array_equal(np.asarray(restored["agc"]["env"]),
                                       np.asarray(st["agc"]["env"]))
 
@@ -243,13 +246,15 @@ class TestCheckpointMigration:
 
         from radioframe.core.checkpoint import StreamCheckpointer
 
+        from conftest import jrun, jwrap, to_host
+
         chain, words, mode = self._chain()
-        st = chain.init_state(2)
-        iq = jnp.asarray((rng.standard_normal((2, 2048)) +
-                          1j * rng.standard_normal((2, 2048))).astype(np.complex64))
-        st, _, _ = jax.jit(chain.step)(st, iq, words, mode)
+        iq = (rng.standard_normal((2, 2048)) +
+              1j * rng.standard_normal((2, 2048))).astype(np.complex64)
+        st, _, _ = jwrap(chain.step)(jrun(lambda: chain.init_state(2)),
+                                     iq, words, mode)
         ck = StreamCheckpointer(str(tmp_path / "ck"))
         ck.save(7, st)
-        restored = ck.restore(7, chain.init_state(2))
+        restored = to_host(ck.restore(7, jrun(lambda: chain.init_state(2))))
         for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -59,6 +59,22 @@ def _kern(variant, TF, M1, M2,
 
     if variant == "dft_only":
         ur, ui = xr_ref[...], xi_ref[...]
+    elif variant == "pfb_noshift":
+        # TIMING-ONLY (wrong numerics): every tap reads the SAME aligned
+        # slice — isolates the cost of the 8 sublane-shifted slice reads
+        # vs the multiply-adds themselves
+        fr = jnp.concatenate([hr_ref[...], xr_ref[...]], axis=0)
+        fi = jnp.concatenate([hi_ref[...], xi_ref[...]], axis=0)
+        hr_ref[...] = fr[TF:]
+        hi_ref[...] = fi[TF:]
+        ur = jnp.zeros((TF, M1, M2), jnp.float32)
+        ui = jnp.zeros((TF, M1, M2), jnp.float32)
+        fr0 = fr[K - 1: K - 1 + TF]
+        fi0 = fi[K - 1: K - 1 + TF]
+        for t in range(K):
+            w = h_ref[t][None]
+            ur = ur + w * fr0
+            ui = ui + w * fi0
     else:
         fr = jnp.concatenate([hr_ref[...], xr_ref[...]], axis=0)
         fi = jnp.concatenate([hi_ref[...], xi_ref[...]], axis=0)
@@ -70,6 +86,10 @@ def _kern(variant, TF, M1, M2,
             w = h_ref[t][None]
             ur = ur + w * fr[K - 1 - t: K - 1 - t + TF]
             ui = ui + w * fi[K - 1 - t: K - 1 - t + TF]
+    if variant == "pfb_noshift":
+        yr_ref[...] = ur
+        yi_ref[...] = ui
+        return
 
     if variant == "pfb_only":
         yr_ref[...] = ur
@@ -119,10 +139,9 @@ def _kern(variant, TF, M1, M2,
     yi_ref[...] = mm2(br, w2i) + mm2(bi, w2r)
 
 
-def build(variant):
+def build(variant, TF=32):
     M1, M2, w1r, w1i, w2r, w2i, twr, twi = _dft_consts(M)
     proto = pfb_prototype_taps(M, K).reshape(K, M).astype(np.float32)
-    TF = 32
     grid = F // TF
     bw1r = np.broadcast_to(w1r.T, (TF, M1, M1)).copy()
     bw1i = np.broadcast_to(w1i.T, (TF, M1, M1)).copy()
@@ -153,7 +172,7 @@ def build(variant):
                             pltpu.VMEM((K - 1, M1, M2), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=32 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",
         )(xr.reshape(F, M1, M2), xi.reshape(F, M1, M2), tl,
           jnp.asarray(proto.reshape(K, M1, M2)),
@@ -183,9 +202,9 @@ def check_parity():
     assert err <= 2e-3 * scale, err
 
 
-def bench(variant):
+def bench(variant, TF=32):
     M1, M2 = _dft_consts(M)[:2]
-    call = build(variant)
+    call = build(variant, TF)
     T = F * M
     rng = np.random.default_rng(3)
     wb = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32))
@@ -216,6 +235,7 @@ def bench(variant):
         dts.append(time.perf_counter() - t0)
     dt = sorted(dts)[1]
     ms = dt / ITERS * 1e3
+    variant = f"{variant}/TF{TF}" if TF != 32 else variant
     print(f"{variant:12s} {ms:7.3f} ms/block  {T * ITERS / dt / 1e9:6.2f} Gsps"
           f"  (runs {[round(x, 4) for x in sorted(dts)]})", flush=True)
     return ms
@@ -227,5 +247,8 @@ if __name__ == "__main__":
     if "--parity" in sys.argv:
         check_parity()
     else:
-        for v in ("pfb_only", "dft_only", "base_b3", "batched_b3"):
+        for v in ("pfb_only", "pfb_noshift", "dft_only", "base_b3",
+                  "batched_b3"):
             bench(v)
+        for tf in (16, 64):
+            bench("batched_b3", TF=tf)
