@@ -11,6 +11,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+from conftest import jrun, jwrap
 
 from radioframe.ops import ft8
 from radioframe.ops.pfb import PfbChannelizer
@@ -52,20 +53,23 @@ class TestFt8Skimmer:
                  ).astype(np.complex64)
 
         pfb = PfbChannelizer(M, 8)
-        chans, _ = jax.jit(pfb)(pfb.init_state(1), jnp.asarray(wide[None, :]))
+        chans, _ = jrun(lambda w: pfb(pfb.init_state(1), w), wide[None, :])
         chans = np.asarray(chans)[0]  # (M, T_ch)
 
         # batched decode of the active channels' complex baseband: the FSK
         # tone projection works on analytic signals directly (no real()
         # needed — energies are |frame . basis|^2)
         basis = ft8.tone_basis(FS_CH, F0, SPS)
-        batch = jnp.asarray(chans[act], jnp.complex64)
+        batch = chans[act].astype(np.complex64)
+        # `start` slices statically inside symbol_energies -> close over it
+        energies = lambda b, start: jrun(
+            lambda b: ft8.symbol_energies(b, basis, start, SPS), b)
         decoded = {}
         # the PFB group delay shifts symbol boundaries by a few samples;
         # scan a handful of start offsets like a real skimmer's time sync
         for start in range(0, 4 * (pfb.K // 2) + 1, 2):
-            e = ft8.symbol_energies(batch, basis, start, SPS)
-            info, ok = ft8.decode_llrs(ft8.soft_bits(e))
+            e = energies(batch, start)
+            info, ok = jrun(lambda e: ft8.decode_llrs(ft8.soft_bits(e)), e)
             info, ok = np.asarray(info), np.asarray(ok)
             for i in range(len(act)):
                 if i in decoded or not ok[i]:
@@ -84,7 +88,7 @@ class TestFt8Skimmer:
             assert decoded[i] == m, (decoded[i], m)
         # quiet channels carry no decodable energy: their peak symbol energy
         # is far below the active channels'
-        e_all = np.asarray(ft8.symbol_energies(jnp.asarray(chans), basis, 0, SPS))
+        e_all = np.asarray(energies(chans.astype(np.complex64), 0))
         peak = e_all.max(axis=(1, 2))
         quiet = np.setdiff1d(np.arange(M), np.asarray(act))
         assert peak[act].min() > 20.0 * peak[quiet].max()

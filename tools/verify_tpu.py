@@ -28,7 +28,7 @@ exercised across grid AND block boundaries.
 Usage:
   python tools/verify_tpu.py            # real device (TPU via axon)
   python tools/verify_tpu.py --cpu      # interpret-mode smoke (fast, small)
-  python tools/verify_tpu.py --out VERIFY_TPU_r04.json
+  python tools/verify_tpu.py --out VERIFY_TPU_r05.json
 """
 
 from __future__ import annotations
@@ -55,6 +55,9 @@ TOL = {
     # per product; measured 5e-4 = -66 dBFS through the full chain) — the
     # tolerance gives it 4x headroom while still catching any real break
     "channelizer_single_pass_b3": 2e-3,
+    # r5: compiled degenerate M1=1 factorization + sharded-one at D=1
+    "channelizer_m128_degenerate": 2e-3,
+    "sharded_single_pass_d1": 2e-3,
     "channelizer_waterfall_db": 5e-2,
 }
 
@@ -301,6 +304,37 @@ def main():
         ok_w = w <= TOL["channelizer_waterfall_db"]
         return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
 
+    def check_channelizer_m128_degenerate():
+        """M=128 -> M1=1 degenerate CT factorization, COMPILED (r4 found
+        Mosaic lane-relayout issues exactly at small M; the r5 batched DFT
+        orientation must keep this exact on hardware too)."""
+        dense, _, _, one_b3 = _chan_cfgs(128)
+        e, s, w = _chan_compare(dense, one_b3)
+        ok_w = w <= TOL["channelizer_waterfall_db"]
+        return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
+
+    def check_sharded_single_pass_d1():
+        """r5 sharded single-pass formulation on a 1-device mesh ON CHIP:
+        compiled kernel + shard_map + XLA AGC completion == dense chain
+        (the CPU-mesh equality tests run interpret; this is the compiled
+        counterpart the r4 verdict asked every claim to have)."""
+        from radioframe.shard.channelizer import ShardedChannelizer
+
+        dense, _, _, one_b3 = _chan_cfgs(64 if on_cpu else 4096)
+        mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
+        sch = ShardedChannelizer(one_b3, mesh)
+
+        class _Shim:  # chain-shaped adapter for _chan_compare
+            cfg = one_b3.cfg
+            min_block = one_b3.min_block
+            pfb = one_b3.pfb
+            init_state = staticmethod(one_b3.init_state)
+            step = staticmethod(sch.step)
+
+        e, s, w = _chan_compare(dense, _Shim)
+        ok_w = w <= TOL["channelizer_waterfall_db"]
+        return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
+
     # ---- 6. flagship chain: fused v2 vs unfused ----------------------------
     def check_flagship_chain():
         C = 8 if on_cpu else 128
@@ -347,6 +381,8 @@ def main():
         ("flagship_chain", check_flagship_chain),
         ("channelizer_chain", check_channelizer_chain),
         ("channelizer_single_pass_b3", check_channelizer_single_pass_b3),
+        ("channelizer_m128_degenerate", check_channelizer_m128_degenerate),
+        ("sharded_single_pass_d1", check_sharded_single_pass_d1),
     ]
     dev = str(jax.devices()[0])
     print(f"verify_tpu on {dev} (backend {jax.default_backend()})", flush=True)
@@ -372,7 +408,7 @@ def main():
         "interpret_mode": on_cpu, "all_pass": all_pass, "checks": results,
     }
     out_path = args.out or ("VERIFY_CPU_SMOKE.json" if on_cpu
-                            else "VERIFY_TPU_r04.json")
+                            else "VERIFY_TPU_r05.json")
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"{'ALL PASS' if all_pass else 'FAILURES'} -> {out_path}", flush=True)
