@@ -221,7 +221,14 @@ def _cmd_monitor(args):
         print(f"note: --channels {M} cannot use the fused kernels here "
               "(needs pow2, and % 128 == 0 when compiled); "
               "using the dense XLA formulation")
-    cfg = presets.channelizer_61m44(M, fused=ok_fused, fs_in=fs)
+    # dense fallback keeps the fused path's OUTPUT contract (per-channel
+    # PFB-derived waterfall lines, (F/avg, M)) so --waterfall artifacts are
+    # backend-invariant — the separate-panorama dense default would emit
+    # spectrum_nfft columns instead (found by the on-TPU CLI test, r5)
+    extra = {} if ok_fused else dict(emit_spectrum=True,
+                                     waterfall_from_pfb=True,
+                                     waterfall_frame_avg=16)
+    cfg = presets.channelizer_61m44(M, fused=ok_fused, fs_in=fs, **extra)
     mon = Monitor(cfg)
     mon.set_mode_all(args.mode)
     nmin = mon.chain.min_block

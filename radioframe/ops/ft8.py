@@ -32,6 +32,7 @@ import numpy as np
 INTEROP_PROVISIONAL = True
 PROVISIONAL_ITEMS = ("LDPC(174,91) parity matrix", "CRC-14 polynomial/padding", "77-bit packing offsets")
 
+import jax
 import jax.numpy as jnp
 
 from radioframe.ops import fec
@@ -223,10 +224,21 @@ def symbol_energies(audio, basis, start: int = 0, sps: int = SPS):
     Accepts real audio (a receiver's demodulated channel) or complex
     analytic baseband (a channelizer output, e.g. the FT8 skimmer path) —
     the complex projection keeps the full +3 dB of the analytic signal."""
-    audio = jnp.asarray(audio)
+    # complex HOST inputs split into f32 planes on the host before any
+    # device dispatch (the axon transport has no complex64 host<->device
+    # path, and one failed dispatch poisons the session — ROADMAP r5)
+    if not isinstance(audio, jax.Array) and np.iscomplexobj(audio):
+        a = np.asarray(audio)
+        audio = jax.jit(jax.lax.complex)(
+            jnp.asarray(np.ascontiguousarray(a.real, np.float32)),
+            jnp.asarray(np.ascontiguousarray(a.imag, np.float32)))
+    else:
+        audio = jnp.asarray(audio)
     seg = audio[..., start : start + N_SYM * sps]
     frames = seg.reshape(seg.shape[:-1] + (N_SYM, sps))
-    br, bi = jnp.real(jnp.asarray(basis)), jnp.imag(jnp.asarray(basis))
+    b = np.asarray(basis)  # host-side plane split (complex constant)
+    br = jnp.asarray(np.ascontiguousarray(b.real, np.float32))
+    bi = jnp.asarray(np.ascontiguousarray(b.imag, np.float32))
     if jnp.issubdtype(audio.dtype, jnp.complexfloating):
         fr = jnp.real(frames).astype(jnp.float32)
         fi = jnp.imag(frames).astype(jnp.float32)

@@ -72,6 +72,14 @@ def to_host(tree):
     return jax.tree.map(lambda x: _join_host(_split_host(x)), tree)
 
 
+# Fused-kernel channel counts: compiled Mosaic needs full 128-lane tiles
+# (pfb_dft.fused_channels_ok); interpret mode (CPU mesh) accepts any pow2,
+# and the small sizes keep interpret runtimes inside the CI budget.
+_ON_CPU = jax.default_backend() == "cpu"
+FUSED_M = 64 if _ON_CPU else 128
+FUSED_M_SMALL = 32 if _ON_CPU else 128
+
+
 def _join_host(x):
     if _is_marker(x):
         return np.asarray(x["__c_re"]) + 1j * np.asarray(x["__c_im"])

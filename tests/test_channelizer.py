@@ -4,7 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from conftest import jrun, jwrap
+from conftest import FUSED_M, FUSED_M_SMALL, jrun, jwrap
 
 from radioframe.diag.metrics import audio_snr_db
 from radioframe.golden import model as G
@@ -277,7 +277,7 @@ class TestFusedPfbDft:
     def test_matches_xla_pfb(self, rng):
         from radioframe.kernels.pfb_dft import FusedPfbDft
 
-        M, K = 64, 8
+        M, K = FUSED_M, 8
         ref_op = PfbChannelizer(M, K)
         fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 32 * M)
@@ -289,7 +289,7 @@ class TestFusedPfbDft:
     def test_streaming_matches(self, rng):
         from radioframe.kernels.pfb_dft import FusedPfbDft
 
-        M, K = 32, 8
+        M, K = FUSED_M_SMALL, 8
         ref_op = PfbChannelizer(M, K)
         fus = FusedPfbDft(M, K, interpret=_INTERP)
         x = _wideband(rng, 96 * M)
@@ -304,7 +304,7 @@ class TestFusedPfbDft:
         np.testing.assert_allclose(got, np.asarray(whole), atol=2e-4, rtol=1e-4)
 
     def test_chain_with_fused_pfb(self, rng):
-        M = 64
+        M = FUSED_M
         base = dict(fs_in=64_000.0 * M, num_channels=M, emit_spectrum=True,
                     waterfall_from_pfb=True, waterfall_frame_avg=4)
         ref_chain = ChannelizerChain(ChannelizerConfig(**base))
@@ -355,7 +355,7 @@ class TestFusedDemodAgc:
                 ChannelizerConfig(**base, fuse_demod=True))
 
     def test_matches_dense_path(self, rng):
-        M = 64
+        M = FUSED_M
         dense_cfg, fused_cfg = self._cfgs(M)
         dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
         T = 4 * dense.min_block
@@ -382,7 +382,7 @@ class TestFusedDemodAgc:
                                       np.asarray(st_d["demod"]["cw_phase"]))
 
     def test_streaming_matches_dense(self, rng):
-        M = 32
+        M = FUSED_M_SMALL
         dense_cfg, fused_cfg = self._cfgs(M)
         dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
         T = 4 * dense.min_block
@@ -405,9 +405,9 @@ class TestFusedConfigValidation:
     """ADVICE r3: the fused back end's constraints fail loudly at build/step
     time with named limits, not as opaque asserts deep in the kernel."""
 
-    _base = dict(fs_in=15_000.0 * 64, num_channels=64, emit_spectrum=True,
-                 waterfall_from_pfb=True, fuse_pfb=True, fuse_demod=True,
-                 enabled_modes=(0, 1, 2, 3))
+    _base = dict(fs_in=15_000.0 * FUSED_M, num_channels=FUSED_M,
+                 emit_spectrum=True, waterfall_from_pfb=True, fuse_pfb=True,
+                 fuse_demod=True, enabled_modes=(0, 1, 2, 3))
 
     def test_non_pow2_frame_avg_rejected(self):
         with pytest.raises(ValueError, match="power of two"):
@@ -460,7 +460,7 @@ class TestFusedConfigValidation:
     def test_block_length_assert_names_min_block(self, rng):
         chain = ChannelizerChain(ChannelizerConfig(
             **self._base, waterfall_frame_avg=4))
-        mode = jnp.zeros((64,), jnp.int32)
+        mode = jnp.zeros((FUSED_M,), jnp.int32)
         bad = jnp.asarray(_wideband(rng, chain.min_block + 64))
         with pytest.raises(AssertionError, match="min_block|multiple of"):
             chain.step(jrun(chain.init_state), bad, mode)
@@ -546,7 +546,7 @@ class TestFusedAttackAgc:
                 ChannelizerConfig(**base, fuse_demod=True))
 
     def test_attack_parity_streaming(self, rng):
-        M = 64
+        M = FUSED_M
         dense_cfg, fused_cfg = self._cfgs(M)
         dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
         assert fused.demod_kernel.attack_alphas  # nonzero alphas compiled
@@ -623,7 +623,7 @@ class TestFusedHangAgc:
 
     @pytest.mark.parametrize("single", [False, True])
     def test_hang_parity_streaming(self, rng, single):
-        M = 64
+        M = FUSED_M
         dense_cfg, fused_cfg = self._cfgs(M, single)
         dense, fused = ChannelizerChain(dense_cfg), ChannelizerChain(fused_cfg)
         assert fused.agc_in_xla and fused.agc_bank.hist_len > 0
@@ -692,8 +692,8 @@ class TestSinglePassChannelizer:
             enabled_modes=(0, 1, 2, 3), **kw)
 
     @pytest.mark.parametrize("M,agc_kw", [
-        (64, {}),                            # instant attack (bench default)
-        (64, {"agc_modes": (                 # nonzero attack table
+        (FUSED_M, {}),                       # instant attack (bench default)
+        (FUSED_M, {"agc_modes": (            # nonzero attack table
             __import__("radioframe.core.config", fromlist=["AgcConfig"])
             .AgcConfig(release_s=0.5, attack_s=0.002),) * 6}),
         (256, {}),                           # M2=128, M1=2 CT factorization
@@ -725,12 +725,12 @@ class TestSinglePassChannelizer:
                                        atol=2e-4)
         np.testing.assert_allclose(np.asarray(states[1]["agc"]["env"]),
                                    np.asarray(states[0]["agc"]["env"]),
-                                   atol=2e-4)
+                                   atol=2e-4, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(states[1]["pfb"]),
                                    np.asarray(states[0]["pfb"]), atol=1e-6)
 
     def test_matches_dense(self, rng):
-        M = 32
+        M = FUSED_M_SMALL
         dense = ChannelizerChain(ChannelizerConfig(
             fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
             waterfall_from_pfb=True, waterfall_frame_avg=4,
@@ -756,7 +756,7 @@ class TestSinglePassChannelizer:
         parity): an AM tone at a channel center demodulates at the same
         SNR through the single-pass kernel as through the dense chain
         (mirrors TestChannelizerChain.test_am_channel_demod)."""
-        M = 64
+        M = FUSED_M
         chain = ChannelizerChain(self._cfg(M, True))
         fs_ch = chain.cfg.fs_channel
         F = 4096
@@ -775,7 +775,7 @@ class TestSinglePassChannelizer:
         assert np.argmax(np.asarray(aux["channel_power"])) == 37
 
     def test_step_planes_matches_step(self, rng):
-        M = 64
+        M = FUSED_M
         chain = ChannelizerChain(self._cfg(M, True))
         T = 2 * chain.min_block
         wide = _wideband(rng, T)

@@ -202,16 +202,23 @@ class TestFusedFrontend2:
         C, T = 5, 16384
         words = jnp.asarray(nco.freq_word(np.linspace(-0.3, 0.3, C) * 5e5, 1.536e6))
         x = _iq(rng, C, 3 * T)
-        acc, t1, t2 = nco.init_state(C), ref1.init_state(C), ref2.init_state(C)
-        fst = fus.init_state(C)
-        outs_ref, outs_fus = [], []
-        for b in np.split(x, 3, axis=-1):
-            b = jnp.asarray(b)
+
+        def ref_step(acc, t1, t2, b):
             m, acc = nco.mix_down(b, words, acc)
             y1, t1 = ref1(t1, m)
             y2, t2 = ref2(t2, y1)
+            return acc, t1, t2, y2
+
+        ref_s, fus_s = jwrap(ref_step), jwrap(fus.step)
+        acc = np.zeros(C, np.int32)
+        t1 = jrun(lambda: ref1.init_state(C))
+        t2 = jrun(lambda: ref2.init_state(C))
+        fst = jrun(lambda: fus.init_state(C))
+        outs_ref, outs_fus = [], []
+        for b in np.split(x, 3, axis=-1):
+            acc, t1, t2, y2 = ref_s(acc, t1, t2, b)
             outs_ref.append(np.asarray(y2))
-            fst, yf = fus.step(fst, b, words)
+            fst, yf = fus_s(fst, b, words)
             outs_fus.append(np.asarray(yf))
         np.testing.assert_allclose(np.concatenate(outs_fus, -1),
                                    np.concatenate(outs_ref, -1), atol=5e-5)
@@ -226,11 +233,12 @@ class TestFusedFrontend2:
         C = 4
         words = jnp.asarray(nco.freq_word(np.linspace(-10e3, 10e3, C), 192e3))
         x = _iq(rng, C, 2 * 2048)
-        s1, s2 = f1.init_state(C), f2.init_state(C)
+        s1 = jrun(lambda: f1.init_state(C))
+        s2 = jrun(lambda: f2.init_state(C))
+        step1, step2 = jwrap(f1.step), jwrap(f2.step)
         for b in np.split(x, 2, axis=-1):
-            b = jnp.asarray(b)
-            s1, a = f1.step(s1, b, words)
-            s2, bb = f2.step(s2, b, words)
+            s1, a = step1(s1, b, words)
+            s2, bb = step2(s2, b, words)
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a), atol=3e-6)
 
     @pytest.mark.slow
@@ -247,12 +255,14 @@ class TestFusedFrontend2:
         C = 4
         words = jnp.asarray(nco.freq_word(np.array([5e4, -2e5, 3e5, 0.0]), 1.536e6))
         mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
-        s_ref, s_f2 = ch_ref.init_state(C), ch_f2.init_state(C)
+        s_ref = jrun(lambda: ch_ref.init_state(C))
+        s_f2 = jrun(lambda: ch_f2.init_state(C))
+        step_ref, step_f2 = jwrap(ch_ref.step), jwrap(ch_f2.step)
         T = 2 * ch_ref.min_block
         for blk in range(3):
-            x = jnp.asarray(_iq(rng, C, T))
-            s_ref, a_ref, _ = ch_ref.step(s_ref, x, words, mode)
-            s_f2, a_f2, _ = ch_f2.step(s_f2, x, words, mode)
+            x = _iq(rng, C, T)
+            s_ref, a_ref, _ = step_ref(s_ref, x, words, mode)
+            s_f2, a_f2, _ = step_f2(s_f2, x, words, mode)
             if blk == 0:
                 continue  # mode-filter warm-up (see test_sharded.py)
             np.testing.assert_allclose(np.asarray(a_f2), np.asarray(a_ref), atol=2e-4)
@@ -309,16 +319,17 @@ class TestInt16Ingest:
         T = 2 * ch_f32.min_block
         words = jnp.asarray(nco.freq_word(np.array([5e4, -2e5, 3e5, 0.0]), 1.536e6))
         mode = jnp.asarray(np.arange(C) % 4, jnp.int32)
-        s32, s16 = ch_f32.init_state(C), ch_i16.init_state(C)
+        s32 = jrun(lambda: ch_f32.init_state(C))
+        s16 = jrun(lambda: ch_i16.init_state(C))
+        step32, step16 = jwrap(ch_f32.step), jwrap(ch_i16.step_i16)
         for blk in range(3):
             x = _iq(rng, C, T)
             cr = np.clip(np.round(np.real(x) * 32768.0), -32768, 32767)
             ci = np.clip(np.round(np.imag(x) * 32768.0), -32768, 32767)
             xq = (cr / 32768.0 + 1j * ci / 32768.0).astype(np.complex64)
-            s32, a32, aux32 = ch_f32.step(s32, jnp.asarray(xq), words, mode)
-            s16, a16, aux16 = ch_i16.step_i16(
-                s16, jnp.asarray(cr.astype(np.int16)), jnp.asarray(ci.astype(np.int16)),
-                words, mode)
+            s32, a32, aux32 = step32(s32, xq, words, mode)
+            s16, a16, aux16 = step16(
+                s16, cr.astype(np.int16), ci.astype(np.int16), words, mode)
             if blk == 0:
                 continue  # mode-filter warm-up
             np.testing.assert_allclose(np.asarray(a16), np.asarray(a32), atol=3e-4)
@@ -335,10 +346,9 @@ class TestInt16Ingest:
         T = 2 * ch.min_block
         words = jnp.asarray(nco.freq_word(np.zeros(C), 1.536e6))
         mode = jnp.zeros((C,), jnp.int32)
-        x = jnp.asarray(_iq(rng, C, T))
-        st = ch.init_state(C)
-        _, _, aux = ch.step(st, x, words, mode)
-        want = np.mean(np.abs(np.asarray(x)) ** 2, axis=-1)
+        x = _iq(rng, C, T)
+        _, _, aux = jrun(lambda x: ch.step(ch.init_state(C), x, words, mode), x)
+        want = np.mean(np.abs(x) ** 2, axis=-1)
         np.testing.assert_allclose(np.asarray(aux["power_in"]), want, rtol=1e-5)
 
     def test_streaming_matches_one_shot(self, rng):
@@ -350,13 +360,13 @@ class TestInt16Ingest:
         x = _iq(rng, C, 2 * T)
         cr = np.clip(np.round(np.real(x) * 32768.0), -32768, 32767).astype(np.int16)
         ci = np.clip(np.round(np.imag(x) * 32768.0), -32768, 32767).astype(np.int16)
-        s1 = ch.init_state(C)
-        _, a_one, _ = ch.step_i16(s1, jnp.asarray(cr), jnp.asarray(ci), words, mode)
-        s2 = ch.init_state(C)
+        step16 = jwrap(ch.step_i16)
+        _, a_one, _ = step16(jrun(lambda: ch.init_state(C)), cr, ci, words, mode)
+        s2 = jrun(lambda: ch.init_state(C))
         outs = []
         for b in range(2):
-            s2, a, _ = ch.step_i16(s2, jnp.asarray(cr[:, b * T:(b + 1) * T]),
-                                   jnp.asarray(ci[:, b * T:(b + 1) * T]), words, mode)
+            s2, a, _ = step16(s2, cr[:, b * T:(b + 1) * T],
+                              ci[:, b * T:(b + 1) * T], words, mode)
             outs.append(np.asarray(a))
         np.testing.assert_allclose(np.concatenate(outs, axis=-1),
                                    np.asarray(a_one), atol=2e-5)

@@ -169,7 +169,6 @@ class TestLSB:
         n = 2048 * 4
         audio = FX.voicelike_audio(48_000.0, n)
         tx = TxChain(TxConfig(channels=1, compressor_max_gain=1.0))
-        st = tx.init_state(1)
         for m, expect_side in (("ssb", +1), ("lsb", -1)):
             w = jnp.asarray([0], jnp.int32)
             mm = jnp.asarray([demod_op.MODE_NAMES[m]], jnp.int32)

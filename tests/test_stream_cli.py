@@ -6,7 +6,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
-from conftest import jrun, jwrap
+from conftest import FUSED_M, jrun, jwrap
 
 from radioframe.core.config import RxConfig
 from radioframe.core.stream import BlockStream, wav_blocks
@@ -124,7 +124,7 @@ class TestMonitorApi:
         from radioframe.api.monitor import Monitor
         from radioframe.core import presets
 
-        M = 64
+        M = FUSED_M
         cfg = presets.channelizer_61m44(M, fs_in=M * 15_000.0)
         assert cfg.fuse_single_pass and cfg.dft_precision == "b3"
         mon = Monitor(cfg)
