@@ -103,10 +103,11 @@ def bench_channelizer():
     """Config-5 dataflow: 61.44 Msps wideband -> 4096-channel PFB ->
     per-channel demod/AGC + waterfall. Returns wideband samples/s/chip.
 
-    Round-4 formulation (ROADMAP round-4 log): the SINGLE-PASS kernel —
-    polyphase + CT MXU DFT (manual bf16x3) + demod bank + AGC + waterfall
-    power in one VMEM pass (kernels/channelizer_one.py); the channel
-    planes never touch HBM and the panorama rides the pass already paid.
+    Round-5 formulation (ROADMAP round-5 log): the SINGLE-PASS kernel —
+    polyphase + CT MXU DFT (manual bf16x3, TF-batched full-lane
+    orientation) + demod bank + AGC + waterfall power in one VMEM pass
+    (kernels/channelizer_one.py); the channel planes never touch HBM and
+    the panorama rides the pass already paid. 7.67 -> 11.28 Gsps in r5.
     iters=128: the ~25 ms axon round trip is per DISPATCH (not per
     iteration; tools/probe_floor.py), so 128 in-loop blocks cut the floor
     from 0.78 to 0.2 ms/block."""

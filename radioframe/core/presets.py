@@ -65,10 +65,11 @@ def channelizer_61m44(num_channels: int = 4096, fused: bool = True, **kw):
 
     ``fused=True`` (default) selects the r4 performance configuration —
     the single-pass Pallas kernel (PFB + CT MXU DFT + demod + AGC +
-    waterfall in one VMEM pass) with manual-bf16x3 DFT matmuls, the
-    SSB/CW/AM/NFM static mode subset, and 16-frame waterfall averaging:
-    7.2-7.7 Gsps wideband per v5e chip (ROADMAP round-4 log; on-chip
-    numerics asserted by tools/verify_tpu.py). ``fused=False`` returns the
+    waterfall in one VMEM pass) with manual-bf16x3 DFT matmuls in the
+    TF-batched MXU orientation (r5), the SSB/CW/AM/NFM static mode
+    subset, and 16-frame waterfall averaging: ~11.3 Gsps wideband per
+    v5e chip (ROADMAP round-5 log; on-chip numerics asserted by
+    tools/verify_tpu.py). ``fused=False`` returns the
     dense XLA formulation (all six demods incl. SAM, separate panorama
     FFT) — the reference semantics with no kernel constraints.
     """

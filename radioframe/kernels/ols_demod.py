@@ -187,6 +187,15 @@ class FusedOlsDemod:
                  dft_precision: str = "highest"):
         assert nfft & (nfft - 1) == 0, "pow2 nfft"
         assert 0 < hop < nfft
+        if not (interpret or C % 128 == 0):
+            # same full-lane-tile gate as the channelizer kernels
+            # (pfb_dft.fused_channels_ok): with partial lane tiles the
+            # in-kernel (F, k2, k1, C) -> (F, nfft, C) merge lowers to a
+            # shape cast Mosaic's layout inference rejects — found by the
+            # r5 on-TPU suite (the kernel had only ever run interpret)
+            raise ValueError(
+                f"FusedOlsDemod needs channels % 128 == 0 when compiled "
+                f"(got {C}); use the dense back end for smaller C")
         self.nfft, self.hop, self.C = int(nfft), int(hop), int(C)
         self.N1, self.N2, self._fwd, self._inv = _ct_consts(self.nfft)
         self._prec = {"highest": lax.Precision.HIGHEST, "b3": "b3"}[dft_precision]

@@ -461,7 +461,10 @@ class TestFusedConfigValidation:
         chain = ChannelizerChain(ChannelizerConfig(
             **self._base, waterfall_frame_avg=4))
         mode = jnp.zeros((FUSED_M,), jnp.int32)
-        bad = jnp.asarray(_wideband(rng, chain.min_block + 64))
+        # NUMPY operand: the length assert fires at step entry BEFORE any
+        # device dispatch — an eager complex transfer here fails ASYNC on
+        # the axon transport and poisons the rest of the file (r5)
+        bad = _wideband(rng, chain.min_block + 64)
         with pytest.raises(AssertionError, match="min_block|multiple of"):
             chain.step(jrun(chain.init_state), bad, mode)
 
@@ -740,9 +743,9 @@ class TestSinglePassChannelizer:
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         st_d, a_d, x_d = jwrap(dense.step)(jrun(dense.init_state),
-                                             jnp.asarray(wide), mode)
+                                             wide, mode)
         st_o, a_o, x_o = jwrap(one.step)(jrun(one.init_state),
-                                           jnp.asarray(wide), mode)
+                                           wide, mode)
         W = dense.pfb.K
         np.testing.assert_allclose(np.asarray(a_o)[:, W:],
                                    np.asarray(a_d)[:, W:], atol=2e-4)
@@ -781,10 +784,10 @@ class TestSinglePassChannelizer:
         wide = _wideband(rng, T)
         mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
         st1, a1, x1 = jwrap(chain.step)(jrun(chain.init_state),
-                                          jnp.asarray(wide), mode)
+                                          wide, mode)
         st2, a2, x2 = jwrap(chain.step_planes)(
-            jrun(chain.init_state), jnp.asarray(wide.real.copy()),
-            jnp.asarray(wide.imag.copy()), mode)
+            jrun(chain.init_state), np.ascontiguousarray(wide.real),
+            np.ascontiguousarray(wide.imag), mode)
         np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
         np.testing.assert_array_equal(np.asarray(x1["waterfall"]),
                                       np.asarray(x2["waterfall"]))

