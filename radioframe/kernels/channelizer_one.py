@@ -266,7 +266,11 @@ class FusedChannelizerOne:
                             pltpu.VMEM((7, M1, M2), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),  # sequential: carries
-                vmem_limit_bytes=64 * 1024 * 1024),
+                # 32 MB, NOT higher: raising the scoped limit to 100 MB
+                # measured ~45% SLOWER on the bare PFB+DFT kernel (the
+                # compiler trades double-buffering headroom for the bigger
+                # budget) — tools/probe_pfbdft_stages.py, r5
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * F * M * K + 8 * F * M * (M1 + M2) + 40 * F * M,

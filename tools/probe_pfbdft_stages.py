@@ -172,7 +172,7 @@ def build(variant, TF=32):
                             pltpu.VMEM((K - 1, M1, M2), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=jax.default_backend() == "cpu",
         )(xr.reshape(F, M1, M2), xi.reshape(F, M1, M2), tl,
           jnp.asarray(proto.reshape(K, M1, M2)),
