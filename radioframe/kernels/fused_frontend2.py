@@ -292,7 +292,12 @@ class FusedFrontend2:
                 pltpu.VMEM((max(J2, 1), max(R2, 1), Cp), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),  # sequential grid
+                dimension_semantics=("arbitrary",),  # sequential grid
+                # explicit 32 MB scoped limit: the default (larger) budget
+                # measured slower on the PFB+DFT kernel — the compiler
+                # trades double-buffering headroom for it (r5,
+                # tools/probe_pfbdft_stages.py)
+                vmem_limit_bytes=32 * 1024 * 1024),
             interpret=self.interpret,
             cost_estimate=pl.CostEstimate(
                 flops=2 * 2 * M * Cp * (J0 + 1) * R
