@@ -63,7 +63,7 @@ def channelizer_61m44(num_channels: int = 4096, fused: bool = True, **kw):
     sampled channels (15 kHz each at 4096) with per-channel demod/AGC and
     the PFB-derived waterfall.
 
-    ``fused=True`` (default) selects the r4 performance configuration —
+    ``fused=True`` (default) selects the performance configuration —
     the single-pass Pallas kernel (PFB + CT MXU DFT + demod + AGC +
     waterfall in one VMEM pass) with manual-bf16x3 DFT matmuls in the
     TF-batched MXU orientation (r5), the SSB/CW/AM/NFM static mode

@@ -20,6 +20,9 @@ transfers are unimplemented there):
   5. demod_agc        kernels/demod_agc.py (chain ctx) vs dense bank, same PFB
   6. flagship_chain   full RxChain fused(v2)      vs full unfused chain
   7. channelizer      full ChannelizerChain fused vs full dense chain
+  8. single_pass_b3   the bench config (one kernel, bf16x3 batched DFT)
+  9. m128_degenerate  compiled M1=1 CT factorization (r5)
+ 10. sharded_one_d1   compiled sharded single-pass, 1-device mesh (r5)
 
 Streaming: every check runs >= 2 blocks with state threaded, so the VMEM
 scratch carries (the part interpret mode models least faithfully) are
