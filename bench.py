@@ -174,7 +174,8 @@ def bench_channelizer():
                             "iters": iters, **spread}
 
 
-def bench_channelizer_sharded_d1(single_pass: bool = False):
+def bench_channelizer_sharded_d1(single_pass: bool = False,
+                                 pod_form: bool = False):
     """Config-5 SHARDED formulations on a 1-device mesh: the acceptance
     shape runs ShardedChannelizer (collectives compile away at D=1), so
     these rows state each sharded formulation's single-chip cost next to
@@ -183,11 +184,16 @@ def bench_channelizer_sharded_d1(single_pass: bool = False):
     single_pass=False: the TWO-kernel fused form (pfb_dft + per-shard
     demod_agc through the plane all_to_all) — the delta vs the unsharded
     `channelizer_4096` row is the interstage HBM round trip + plumbing.
-    single_pass=True (r5, VERDICT r4 ask #1): the NO-all_to_all form —
-    whole-M single-pass kernel per time shard with in-kernel AGC disabled
-    and the AGC/DC carries completed in XLA; its D=1 delta vs
-    `channelizer_4096` prices the XLA AGC completion, while on a pod it
-    removes the (2, F, M) all_to_all (the dominant cross-chip bytes)."""
+    single_pass=True (r5, VERDICT r4 ask #1): the NO-all_to_all form.
+    Since the r5 open-work-#4 follow-up, D=1 DEFERS to the unsharded
+    chain (every cross-shard carry is block state at D=1), so this row
+    should read ~= channelizer_4096 — it verifies the deferral, not the
+    completion.
+    pod_form=True (implies single_pass): force_general keeps the
+    cross-shard formulation at D=1 AND disables AM statically, so the
+    kernel emits its zero-entering release env and the completion is one
+    elementwise max (the emit_env variant — the actual per-shard program
+    a pod runs). This row prices that per-shard cost on one chip."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -196,18 +202,24 @@ def bench_channelizer_sharded_d1(single_pass: bool = False):
     from radioframe.shard.mesh import place_state
 
     M, iters = 4096, 256  # steady-state convention (see bench_channelizer)
+    single_pass = single_pass or pod_form
+    en = (0, 1, 3) if pod_form else (0, 1, 2, 3)
     cfg = ChannelizerConfig(fs_in=61_440_000.0, num_channels=M,
                             emit_spectrum=True, waterfall_from_pfb=True,
                             waterfall_frame_avg=16, fuse_pfb=True,
-                            fuse_demod=True, enabled_modes=(0, 1, 2, 3),
+                            fuse_demod=True, enabled_modes=en,
                             dft_precision="b3", fuse_single_pass=single_pass)
     chain = ChannelizerChain(cfg)
     mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
-    sch = ShardedChannelizer(chain, mesh)
+    sch = ShardedChannelizer(chain, mesh, force_general=pod_form)
+    if pod_form:
+        assert sch.one_mode == "emit_env", sch.one_mode
+    elif single_pass:
+        assert sch.one_mode == "defer", sch.one_mode
     T = 128 * chain.min_block
     rng = np.random.default_rng(7)
     wb_ri = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32))
-    mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+    mode = jnp.asarray(np.array(en)[np.arange(M) % len(en)], jnp.int32)
 
     def run(state, wb_ri, mode, n):
         wide = jax.lax.complex(wb_ri[0], wb_ri[1])
@@ -432,6 +444,8 @@ def main():
                          ("channelizer_sharded_d1", bench_channelizer_sharded_d1),
                          ("channelizer_sharded_one_d1",
                           lambda: bench_channelizer_sharded_d1(single_pass=True)),
+                         ("channelizer_sharded_one_pod",
+                          lambda: bench_channelizer_sharded_d1(pod_form=True)),
                          ("tx_adc_r1280", bench_tx),
                          ("duplex", bench_duplex)):
             try:

@@ -45,7 +45,7 @@ from radioframe.ops import demod as demod_op
 
 def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
             en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas, dev_scale,
-            apply_agc,
+            apply_agc, emit_env,
             # inputs: PFB part
             xr_ref, xi_ref, tl_ref, h_ref,
             w1r_ref, w1i_ref, w2r_ref, w2i_ref, twr_ref, twi_ref,
@@ -53,10 +53,12 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
             mode_ref, cw_word_ref, cw_acc_ref, rel_ref, al_ref, tgt_ref,
             mg_ref, ltri_ref, atri_ref, dcol_ref, st_in_ref,
             pa_ref, pinv_ref, pc_ref, ps_ref,  # per-block precomputed tables
-            # outputs
-            audio_ref, wf_ref, st_out_ref,
-            # scratch
-            hr_ref, hi_ref, carry_ref):
+            # outputs, then scratch (env_ref present only under emit_env)
+            audio_ref, wf_ref, st_out_ref, *rest):
+    if emit_env:
+        env_ref, hr_ref, hi_ref, carry_ref = rest
+    else:
+        env_ref, (hr_ref, hi_ref, carry_ref) = None, rest
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -83,15 +85,17 @@ def _kernel(TF, K, M1, M2, prec, grid, wf_avg,
                       twr_ref[...], twi_ref[...], w2r_ref[...], w2i_ref[...])
 
     # ---- demod bank + AGC + waterfall, straight from registers ----------
-    audio, wf = demod_agc_tile(
+    out = demod_agc_tile(
         i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm, alphas,
         dev_scale, yr, yi, mode_ref[...], cw_word_ref[...], cw_acc_ref[...],
         rel_ref[...], al_ref[...], tgt_ref[...], mg_ref[...],
         ltri_ref, atri_ref, dcol_ref, carry_ref,
         pre=(pa_ref[...], pinv_ref[...], pc_ref[...], ps_ref[...]),
-        apply_agc=apply_agc)
-    audio_ref[...] = audio
-    wf_ref[...] = wf[None]
+        apply_agc=apply_agc, emit_env=emit_env)
+    audio_ref[...] = out[0]
+    wf_ref[...] = out[1][None]
+    if emit_env:
+        env_ref[...] = out[2]
 
     @pl.when(i == grid - 1)
     def _emit_state():
@@ -114,13 +118,17 @@ class FusedChannelizerOne:
                  wf_avg: int = 1, enabled=(0, 1, 2, 3, 4),
                  attack_alphas: tuple = (), window: str = "hamming",
                  interpret: bool = False, dft_precision: str = "highest",
-                 apply_agc: bool = True):
+                 apply_agc: bool = True, emit_env: bool = False):
         # apply_agc=False: demod-only variant for the TIME-SHARDED
         # single-pass channelizer (shard/channelizer.py) — each shard runs
         # PFB+DFT+demod on its local wideband slice for ALL M channels
         # (AM/NFM lookbacks seed exactly from the halo) and the AGC
         # release/attack/gain, whose carries cross shard boundaries, is
         # completed in XLA on the audio-rate output (demod_agc_tile doc).
+        # emit_env=True (requires apply_agc=False, AM statically disabled):
+        # the release env IS computed in-kernel (zero-entering when st_in
+        # row 4 is zero) and returned as a 5th output, collapsing the
+        # sharded AGC completion to one elementwise max (r5).
         from radioframe.ops.filter_design import pfb_prototype_taps
 
         self.M = int(num_channels)
@@ -153,6 +161,13 @@ class FusedChannelizerOne:
         self.attack_alphas = tuple(sorted({float(a) for a in attack_alphas
                                            if float(a) != 0.0}))
         self.apply_agc = bool(apply_agc)
+        self.emit_env = bool(emit_env)
+        if self.emit_env:
+            assert not self.apply_agc, "emit_env is a demod-only mode"
+            assert demod_op.AM not in en, (
+                "emit_env needs AM statically disabled: the AM DC-block's "
+                "cross-shard audio fixup lands AFTER the in-kernel env "
+                "would have latched |audio| (demod_agc_tile doc)")
         self.interpret = interpret
 
     def release_ok(self, release_values) -> bool:
@@ -190,18 +205,24 @@ class FusedChannelizerOne:
             chunk_T = self.MAX_GRID * TF * M
             outs = []
             for t0 in range(0, T, chunk_T):
-                audio, pw, wf, st_in = self.call_planes(
+                res = self.call_planes(
                     tail, wr[t0: t0 + chunk_T], wi[t0: t0 + chunk_T], mode,
                     cw_word, cw_acc, rel, al, tgt, mg, st_in)
+                pw, st_in = res[1], res[3]
                 cw_acc = cw_acc + cw_word * jnp.int32(chunk_T // M)
                 tail = jax.lax.complex(
                     wr[t0 + chunk_T - (K - 1) * M: t0 + chunk_T],
                     wi[t0 + chunk_T - (K - 1) * M: t0 + chunk_T])[None]
-                outs.append((audio, wf))
+                outs.append(res)
             # power row 6 accumulates THROUGH st_in across chunks — the
-            # final chunk's pw is already the whole-block total
-            return (jnp.concatenate([o[0] for o in outs], axis=0), pw,
-                    jnp.concatenate([o[1] for o in outs], axis=0), st_in)
+            # final chunk's pw is already the whole-block total (and the
+            # env carry row 4 chains through st_in, so chunked emit_env
+            # stays exact)
+            ret = (jnp.concatenate([o[0] for o in outs], axis=0), pw,
+                   jnp.concatenate([o[2] for o in outs], axis=0), st_in)
+            if self.emit_env:
+                ret += (jnp.concatenate([o[4] for o in outs], axis=0),)
+            return ret
 
         xr = wr.reshape(F, M1, M2)
         xi = wi.reshape(F, M1, M2)
@@ -223,13 +244,13 @@ class FusedChannelizerOne:
             _kernel, TF, K, M1, M2, self._prec, grid, self.wf_avg,
             demod_op.SSB in en, demod_op.LSB in en, demod_op.CW in en,
             demod_op.AM in en, demod_op.NFM in en, self.attack_alphas,
-            self.dev_scale, self.apply_agc)
+            self.dev_scale, self.apply_agc, self.emit_env)
         c = lambda a: jnp.asarray(a)
         h3 = self._h.reshape(K, M1, M2)
         cmap = lambda v, dt: jnp.asarray(v, dt).reshape(1, M1, M2)
         whole3 = lambda shp: pl.BlockSpec(shp, lambda i: (0,) * len(shp))
         wf_block = TF // self.wf_avg
-        audio, wf, st_out = pl.pallas_call(
+        audio, wf, st_out, *env = pl.pallas_call(
             kern,
             grid=(grid,),
             in_specs=[
@@ -255,12 +276,14 @@ class FusedChannelizerOne:
                 pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0)),
                 pl.BlockSpec((1, wf_block, M1, M2), lambda i: (i, 0, 0, 0)),
                 whole3((7, M1, M2)),
-            ],
+            ] + ([pl.BlockSpec((TF, M1, M2), lambda i: (i, 0, 0))]
+                 if self.emit_env else []),
             out_shape=[
                 jax.ShapeDtypeStruct((F, M1, M2), jnp.float32),
                 jax.ShapeDtypeStruct((grid, wf_block, M1, M2), jnp.float32),
                 jax.ShapeDtypeStruct((7, M1, M2), jnp.float32),
-            ],
+            ] + ([jax.ShapeDtypeStruct((F, M1, M2), jnp.float32)]
+                 if self.emit_env else []),
             scratch_shapes=[pltpu.VMEM((K - 1, M1, M2), jnp.float32),
                             pltpu.VMEM((K - 1, M1, M2), jnp.float32),
                             pltpu.VMEM((7, M1, M2), jnp.float32)],
@@ -288,4 +311,6 @@ class FusedChannelizerOne:
         audio = audio.reshape(F, M)
         wf = wf.reshape(F // self.wf_avg, M)
         st_out = st_out.reshape(7, M)
+        if self.emit_env:
+            return audio, st_out[6], wf, st_out, env[0].reshape(F, M)
         return audio, st_out[6], wf, st_out

@@ -115,7 +115,7 @@ def _kernel(TF, M, grid, fs, dev_scale, wf_avg, en_ssb, en_lsb, en_cw, en_am,
 def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
                    alphas, dev_scale, xr, xi, mode, cw_word, cw_acc, rel, al,
                    tgt, mg, ltri_ref, atri_ref, dcol_ref, carry_ref,
-                   pre=None, apply_agc=True):
+                   pre=None, apply_agc=True, emit_env=False):
     """One frame-tile of the demod bank + AGC, rank-agnostic.
 
     ``xr``/``xi`` are (TF, M) or (TF, M1, M2) VALUES (channels on the
@@ -133,6 +133,16 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     output, because the release max-decay and attack one-pole carries
     depend on upstream shards while the in-kernel forms assume a known
     entering envelope. Carry rows 4/5 are left untouched in that mode.
+
+    ``emit_env=True`` (static, requires apply_agc=False): the release
+    max-decay env IS computed in-kernel (carry row 4 seeded/updated as in
+    the apply path) and returned as a third output — but attack/gain still
+    are not. With the env carry zero-seeded this gives each time shard its
+    LOCAL zero-entering release envelope, which the sharded channelizer
+    completes across shards with one elementwise max (r5, ROADMAP
+    open-work #4) — valid only when AM is statically disabled: the AM
+    DC-block's cross-shard audio fixup would change |audio| after the
+    in-kernel env had already latched it.
 
     ``pre``: optional (A, invA, cw_cf, cw_sf) tile-constant tables, each
     shaped like xr's tile — A = rel**f1 (+ its reciprocal, killing the
@@ -203,34 +213,46 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
         carry_ref[3:4] = xi[TF - 1: TF]
         audio = audio + jnp.where(mode == demod_op.NFM, y_nfm, 0.0)
 
+    def _release_env():
+        """Release max-decay env over the tile (rescale + log-step cummax),
+        carry row 4 seeded/updated. Shared by apply_agc and emit_env."""
+        mag = jnp.abs(audio)
+        # ONE pow array A = rel^{f1}; rel^{-f1} = 1/A and rel^{f1+1} = A*rel
+        # are derived by mul/div — pow lowers to exp(log) on the VPU, so this
+        # cuts 2 of the 3 (TF, M) transcendental arrays per tile (r4)
+        f1 = jax.lax.broadcasted_iota(
+            jnp.int32, (TF,) + ones, 0).astype(jnp.float32)
+        A = (rel ** f1) if pre is None else pre[0]
+        w = (mag / A) if pre is None else (mag * pre[1])
+        # cummax over the frame (sublane) axis via log-step shifted maxes
+        # (lax.cummax is NOT implemented in Mosaic's TPU lowering — tried r4,
+        # interpret mode hid the gap until the compiled run)
+        k = 1
+        while k < TF:
+            shifted = jnp.concatenate(
+                [jnp.full((k,) + cdim, -np.inf, jnp.float32), w[: TF - k]],
+                axis=0)
+            w = jnp.maximum(w, shifted)
+            k *= 2
+        env_r = jnp.maximum(w * A, carry_ref[4:5] * (A * rel))
+        carry_ref[4:5] = env_r[TF - 1: TF]
+        return env_r
+
+    def _aux():
+        if wf_avg == 0:
+            return None
+        carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
+        return jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
+
     # --- AGC: release max-decay (rescale + log-step cummax) --------------
     if not apply_agc:
         # demod-only mode (time-sharded single-pass channelizer): gain is
-        # completed across shards in XLA; emit pre-AGC audio + aux only
-        if wf_avg == 0:
-            return audio, None
-        carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
-        wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
-        return audio, wf
-    mag = jnp.abs(audio)
-    # ONE pow array A = rel^{f1}; rel^{-f1} = 1/A and rel^{f1+1} = A*rel are
-    # derived by mul/div — pow lowers to exp(log) on the VPU, so this cuts
-    # 2 of the 3 (TF, M) transcendental arrays per tile (r4)
-    f1 = jax.lax.broadcasted_iota(
-        jnp.int32, (TF,) + ones, 0).astype(jnp.float32)
-    A = (rel ** f1) if pre is None else pre[0]
-    w = (mag / A) if pre is None else (mag * pre[1])
-    # cummax over the frame (sublane) axis via log-step shifted maxes
-    # (lax.cummax is NOT implemented in Mosaic's TPU lowering — tried r4,
-    # interpret mode hid the gap until the compiled run)
-    k = 1
-    while k < TF:
-        shifted = jnp.concatenate(
-            [jnp.full((k,) + cdim, -np.inf, jnp.float32), w[: TF - k]], axis=0)
-        w = jnp.maximum(w, shifted)
-        k *= 2
-    env_r = jnp.maximum(w * A, carry_ref[4:5] * (A * rel))
-    carry_ref[4:5] = env_r[TF - 1: TF]
+        # completed across shards in XLA; emit pre-AGC audio + aux (and,
+        # under emit_env, the zero-entering local release env — docstring)
+        if emit_env:
+            return audio, _aux(), _release_env()
+        return audio, _aux()
+    env_r = _release_env()
 
     # --- AGC attack: one-pole lpf over env_r (VERDICT r3 ask #5) ---------
     # env[g] = a*env[g-1] + (1-a)*env_r[g], per-channel a from a STATIC
@@ -260,11 +282,7 @@ def demod_agc_tile(i, TF, wf_avg, en_ssb, en_lsb, en_cw, en_am, en_nfm,
     # --- aux: power accumulation + averaged waterfall power --------------
     # wf_avg == 0 disables the whole aux pass (the flagship back end gets
     # its power metric from the front-end kernel; kernels/ols_demod.py)
-    if wf_avg == 0:
-        return audio, None
-    carry_ref[6:7] = carry_ref[6:7] + jnp.sum(p, axis=0, keepdims=True)
-    wf = jnp.mean(p.reshape((TF // wf_avg, wf_avg) + cdim), axis=1)
-    return audio, wf
+    return audio, _aux()
 
 
 def agc_prefix_consts(TF: int, attack_alphas: tuple):

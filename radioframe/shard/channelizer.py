@@ -59,6 +59,7 @@ from radioframe.ops import demod as demod_op
 from radioframe.pipelines.channelizer import ChannelizerChain
 from radioframe.shard.halo import (affine_carry_chain, causal_halo,
                                    last_shard_value, sharded_affine_scan,
+                                   sharded_maxdecay_complete,
                                    sharded_maxdecay_scan)
 
 
@@ -90,7 +91,11 @@ def _pfb_frame_native(halo, kern):
 
 
 class ShardedChannelizer:
-    def __init__(self, chain: ChannelizerChain, mesh, axis: str = "dev"):
+    def __init__(self, chain: ChannelizerChain, mesh, axis: str = "dev",
+                 force_general: bool = False):
+        # force_general: keep the general cross-shard single-pass
+        # formulation even at D=1 (tests/benches price the pod path's
+        # per-shard cost on one chip; production never wants this)
         self.chain = chain
         self.mesh = mesh
         self.axis = axis
@@ -101,15 +106,32 @@ class ShardedChannelizer:
             self._raw_spec = Spectrum(chain.cfg.spectrum_nfft, 0.0)
         # SINGLE-PASS sharded formulation (r5, VERDICT r4 ask #1): honors
         # cfg.fuse_single_pass — each shard runs the full-M kernel on its
-        # time slice with in-kernel AGC disabled (module doc). No M % D
-        # constraint (channels are never split) and no per-shard release
-        # guard (the XLA completion falls back to the associative scan
-        # when the rescale bound fails, instead of erroring).
+        # time slice (module doc). No M % D constraint (channels are never
+        # split). Three statically-chosen variants (r5 ROADMAP open-work
+        # #4 follow-up):
+        #   "defer"    (D == 1): every cross-shard carry is just the
+        #              block-entering state, known before the kernel runs —
+        #              run the UNSHARDED fused chain (full in-kernel AGC,
+        #              zero completion cost).
+        #   "emit_env" (D > 1, AM statically disabled, release rescale
+        #              bound holds): the kernel computes each shard's
+        #              zero-entering release env in-kernel and the XLA
+        #              completion collapses to one elementwise max — no
+        #              full-rate XLA scan on the pod path. AM excludes this:
+        #              its cross-shard DC-block audio fixup lands after the
+        #              in-kernel env would have latched |audio|.
+        #   "xla"      (otherwise): release/attack/gain fully in XLA via
+        #              the cross-shard scans (the r5 general form).
         self.demod_kernel = None
         self.one_kernel = None
+        self.one_mode = None
         if chain.one_kernel is not None:
             from radioframe.kernels.channelizer_one import FusedChannelizerOne
 
+            if D == 1 and not force_general:
+                self.one_mode = "defer"
+                self.one_kernel = chain.one_kernel
+                return
             if chain.agc_bank.hist_len:
                 raise ValueError(
                     "sharded fuse_single_pass has no hang AGC: the hang "
@@ -119,12 +141,19 @@ class ShardedChannelizer:
             cfg = chain.cfg
             en = (cfg.enabled_modes if cfg.enabled_modes is not None
                   else tuple(range(demod_op.SAM + 1)))
-            self.one_kernel = FusedChannelizerOne(
+            build = lambda emit: FusedChannelizerOne(
                 cfg.num_channels, cfg.taps_per_channel, cfg.fs_channel,
                 cfg.nfm_deviation_hz, wf_avg=cfg.waterfall_frame_avg,
-                enabled=en, attack_alphas=(),  # AGC completed in XLA
+                enabled=en, attack_alphas=(),  # attack completed in XLA
                 interpret=jax.default_backend() == "cpu",
-                dft_precision=cfg.dft_precision, apply_agc=False)
+                dft_precision=cfg.dft_precision, apply_agc=False,
+                emit_env=emit)
+            emit = demod_op.AM not in en
+            kern = build(emit)
+            if emit and not kern.release_ok(chain.agc_bank.release):
+                emit, kern = False, build(False)
+            self.one_kernel = kern
+            self.one_mode = "emit_env" if emit else "xla"
             return
         assert chain.cfg.num_channels % D == 0
         # fused demod+AGC back end under sharding (VERDICT r3 ask #2): each
@@ -288,8 +317,10 @@ class ShardedChannelizer:
         nfm_r = jnp.where(is0, to_n(jnp.real(d_st["nfm_last"])), y1r)
         nfm_i = jnp.where(is0, to_n(jnp.imag(d_st["nfm_last"])), y1i)
         z = jnp.zeros((M,), jnp.float32)
-        # am_y (row 1) zero-seeded on EVERY shard — completed below; rows
-        # 4/5 are dead (apply_agc=False leaves them untouched)
+        # am_y (row 1) zero-seeded on EVERY shard — completed below; row 4
+        # (release env) zero-seeded: under emit_env the kernel scans it
+        # from zero (completed below), otherwise it is dead (apply_agc=
+        # False leaves rows 4/5 untouched)
         st_in = jnp.stack([am_x, z, nfm_r, nfm_i, z, z, z])
 
         cw_word = jnp.full((M,), chain.cw_tone_word, jnp.int32)
@@ -297,26 +328,39 @@ class ShardedChannelizer:
         # (int32 wrap keeps this exact)
         cw_acc = to_n(d_st["cw_phase"]) + cw_word * (d * jnp.int32(F_loc))
         rel, al, tgt, mg = chain.agc_bank.per_channel(mode_n)
-        audio_fm, _, wfp, st_out = kern.call_planes(
+        outs = kern.call_planes(
             halo[M:][None], jnp.real(x[0]), jnp.imag(x[0]), mode_n, cw_word,
             cw_acc, rel, al, tgt, mg, st_in)
+        audio_fm, _, wfp, st_out = outs[:4]
 
-        # --- AM DC-block completion: affine carry chain + rank-1 fixup ---
-        my_in, am_y_fin = affine_carry_chain(
-            st_out[1], jnp.float32(_DC_POLE ** F_loc),
-            to_n(d_st["am_dc"][1]), ax)
-        dcpow = jnp.asarray(np.float64(_DC_POLE)
-                            ** np.arange(1, F_loc + 1), jnp.float32)
-        audio_fm = audio_fm + jnp.where((mode_n == demod_op.AM)[None, :],
-                                        dcpow[:, None] * my_in[None, :], 0.0)
+        if self.one_mode == "emit_env":
+            # AM is statically disabled here (kernel gate), so there is no
+            # DC-block fixup and the kernel's zero-entering release env
+            # completes with ONE elementwise max — no full-rate XLA scan
+            audio_cm = audio_fm.T  # (M, F_loc) native channel-major
+            am_y_fin = None
+            env_r, env_fin = sharded_maxdecay_complete(
+                rel, outs[4].T, to_n(a_st["env"]), ax,
+                a_table=chain.agc_bank.release)
+        else:
+            # --- AM DC-block completion: affine carry chain + rank-1 fixup
+            my_in, am_y_fin = affine_carry_chain(
+                st_out[1], jnp.float32(_DC_POLE ** F_loc),
+                to_n(d_st["am_dc"][1]), ax)
+            dcpow = jnp.asarray(np.float64(_DC_POLE)
+                                ** np.arange(1, F_loc + 1), jnp.float32)
+            audio_fm = audio_fm + jnp.where((mode_n == demod_op.AM)[None, :],
+                                            dcpow[:, None] * my_in[None, :],
+                                            0.0)
 
-        # --- AGC in XLA, completed across shards (release env + attack
-        # lpf carries span shard boundaries; the dense-bank math, so this
-        # path also matches the dense chain exactly) --------------------
-        audio_cm = audio_fm.T  # (M, F_loc) native channel-major
-        mag = jnp.abs(audio_cm)
-        env_r, env_fin = sharded_maxdecay_scan(
-            rel, mag, to_n(a_st["env"]), ax, a_table=chain.agc_bank.release)
+            # --- AGC in XLA, completed across shards (release env + attack
+            # lpf carries span shard boundaries; the dense-bank math, so
+            # this path also matches the dense chain exactly) ------------
+            audio_cm = audio_fm.T  # (M, F_loc) native channel-major
+            mag = jnp.abs(audio_cm)
+            env_r, env_fin = sharded_maxdecay_scan(
+                rel, mag, to_n(a_st["env"]), ax,
+                a_table=chain.agc_bank.release)
         if chain.agc_bank.alpha.any():
             env, lpf_fin = sharded_affine_scan(
                 al, (1.0 - al)[:, None] * env_r, to_n(a_st["lpf"]), ax,
@@ -339,10 +383,14 @@ class ShardedChannelizer:
         aux["waterfall"] = wf  # (F_loc/avg, M) channel order; roll in step()
 
         last = lambda v: last_shard_value(v, ax)
+        # emit_env: AM statically disabled, so am_dc is a pass-through
+        # (the unsharded kernel leaves its rows untouched too)
+        am_dc = (d_st["am_dc"] if am_y_fin is None else
+                 jnp.stack([to_c(last(st_out[0])), to_c(am_y_fin)]))
         new_demod = {
             "cw_phase": d_st["cw_phase"]
             + jnp.int32(chain.cw_tone_word) * jnp.int32(F_loc) * D,
-            "am_dc": jnp.stack([to_c(last(st_out[0])), to_c(am_y_fin)]),
+            "am_dc": am_dc,
             "nfm_last": lax.complex(to_c(last(st_out[2])),
                                     to_c(last(st_out[3]))),
             "sam_dc": d_st["sam_dc"], "sam_carrier": d_st["sam_carrier"],
@@ -407,6 +455,12 @@ class ShardedChannelizer:
         }
 
     def step(self, state, wideband, mode):
+        if self.one_mode == "defer":
+            # D == 1: the unsharded fused chain IS the optimal program —
+            # every cross-shard carry equals the block-entering state, so
+            # the completion machinery would be pure overhead (measured
+            # 8.6 vs 11.7 Gsps at D=1, r5 ROADMAP open-work #4)
+            return self.chain.step(state, wideband, mode)
         if self.one_kernel is not None:
             return self._step_one(state, wideband, mode)
         ax = self.axis

@@ -127,6 +127,44 @@ def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time",
     return env, fin
 
 
+def decay_pows(ac, a_table, T: int, dtype=jnp.float32):
+    """(C, T) decay powers ac**(1..T) with NO per-element transcendentals:
+    per-channel ``ac`` is drawn from the small STATIC ``a_table`` (e.g. the
+    per-mode AGC release constants), so one (T,) pow row per distinct value
+    + a masked select replaces the (C, T) pow array's exp/log pass."""
+    import numpy as np
+
+    vals = sorted({float(v) for v in np.asarray(a_table)})
+    n = 1 + jnp.arange(T, dtype=dtype)
+    out = jnp.zeros(ac.shape + (T,), dtype)
+    for v in vals:
+        out = jnp.where((ac == jnp.asarray(v, dtype))[..., None],
+                        jnp.asarray(v, dtype) ** n, out)
+    return out
+
+
+def sharded_maxdecay_complete(a_const, local_env, carry, axis: str = "time",
+                              a_table=None):
+    """Complete a ZERO-SEEDED local max-decay envelope across shards.
+
+    Same completion as the tail of ``sharded_maxdecay_scan``, for callers
+    whose local scan already ran elsewhere (the single-pass channelizer
+    kernel computes its release envelope in-kernel; r5 — ROADMAP open-work
+    #4). ``local_env`` (C, T_local) must be the env of the local samples
+    scanned from a ZERO entering carry. ``a_table``: optional static table
+    the coefficients are drawn from, enabling the transcendental-free
+    decay-power build (decay_pows). Returns (env, new_carry)."""
+    C, T = local_env.shape
+    ac = jnp.asarray(a_const, local_env.dtype)  # scalar or (C,)
+    if a_table is not None and ac.ndim:
+        apow = decay_pows(ac, a_table, T, local_env.dtype)
+    else:
+        apow = ac[..., None] ** (1 + jnp.arange(T, dtype=local_env.dtype))
+    A = ac ** T
+    my_in, fin = _carry_chain(local_env[:, -1], A, carry, axis, jnp.maximum)
+    return jnp.maximum(local_env, my_in[..., None] * apow), fin
+
+
 def sharded_biquad(bq, s0, x, axis: str = "time"):
     """One transposed-DF2 biquad section across the time-sharded block.
 

@@ -805,17 +805,24 @@ class TestShardedSinglePass:
     cross-shard carry is exact, so no warmup skip is needed)."""
 
     def _cfg(self, M, **kw):
+        kw.setdefault("enabled_modes", (0, 1, 2, 3))
         return ChannelizerConfig(
             fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
             waterfall_from_pfb=True, waterfall_frame_avg=4,
-            fuse_pfb=True, fuse_demod=True, fuse_single_pass=True,
-            enabled_modes=(0, 1, 2, 3), **kw)
+            fuse_pfb=True, fuse_demod=True, fuse_single_pass=True, **kw)
 
-    def _run_pair(self, rng, chain, D, n_blocks=2):
+    def _run_pair(self, rng, chain, D, n_blocks=2, force_general=False,
+                  expect_mode=None):
         mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
-        sharded = ShardedChannelizer(chain, mesh)
+        sharded = ShardedChannelizer(chain, mesh,
+                                     force_general=force_general)
         assert sharded.one_kernel is not None  # honors fuse_single_pass
-        assert not sharded.one_kernel.apply_agc
+        if expect_mode is not None:
+            assert sharded.one_mode == expect_mode, sharded.one_mode
+        if sharded.one_mode == "defer":
+            assert sharded.one_kernel.apply_agc  # the unsharded kernel
+        else:
+            assert not sharded.one_kernel.apply_agc
         T = D * 2 * chain.min_block
         mode = jnp.asarray(np.arange(chain.cfg.num_channels) % 4, jnp.int32)
         wide = _wideband(rng, n_blocks * T)
@@ -836,7 +843,8 @@ class TestShardedSinglePass:
     @pytest.mark.parametrize("D", [1, 4, 8])
     def test_matches_unsharded_single_pass(self, rng, D):
         chain = ChannelizerChain(self._cfg(64))
-        st_u, st_s = self._run_pair(rng, chain, D)
+        st_u, st_s = self._run_pair(
+            rng, chain, D, expect_mode="defer" if D == 1 else "xla")
         np.testing.assert_array_equal(np.asarray(st_s["demod"]["cw_phase"]),
                                       np.asarray(st_u["demod"]["cw_phase"]))
         for leaf in ("am_dc", "nfm_last"):
@@ -866,9 +874,83 @@ class TestShardedSinglePass:
         )
         chain = ChannelizerChain(self._cfg(64, agc_modes=agc_modes))
         assert chain.agc_bank.alpha.any()
-        st_u, st_s = self._run_pair(rng, chain, 4)
+        st_u, st_s = self._run_pair(rng, chain, 4, expect_mode="xla")
         np.testing.assert_allclose(np.asarray(st_s["agc"]["lpf"]),
                                    np.asarray(st_u["agc"]["lpf"]), atol=2e-4)
+
+    def _run_pair_no_am(self, rng, chain, D, **kw):
+        """AM-free population (modes drawn from the static subset)."""
+        mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+        sharded = ShardedChannelizer(chain, mesh, **kw)
+        M = chain.cfg.num_channels
+        mode = jnp.asarray(np.array([0, 1, 3])[np.arange(M) % 3], jnp.int32)
+        T = D * 2 * chain.min_block
+        wide = _wideband(rng, 2 * T)
+        st_u, st_s = jrun(chain.init_state), jrun(chain.init_state)
+        step_u, step_s = jwrap(chain.step), jwrap(sharded.step)
+        for b in np.split(wide, 2):
+            st_u, a_u, x_u = step_u(st_u, b, mode)
+            st_s, a_s, x_s = step_s(st_s, b, mode)
+            np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u),
+                                       atol=2e-4)
+        for leaf in ("env", "lpf"):
+            np.testing.assert_allclose(np.asarray(st_s["agc"][leaf]),
+                                       np.asarray(st_u["agc"][leaf]),
+                                       atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(st_s["demod"]["am_dc"]),
+                                      np.asarray(st_u["demod"]["am_dc"]))
+        return sharded
+
+    @pytest.mark.parametrize("D", [4, 8])
+    def test_emit_env_matches_unsharded(self, rng, D):
+        """AM statically disabled -> the emit_env variant: the kernel's
+        zero-entering release env + ONE elementwise cross-shard max
+        (r5 ROADMAP open-work #4) == the unsharded in-kernel AGC."""
+        chain = ChannelizerChain(self._cfg(64, enabled_modes=(0, 1, 3)))
+        sharded = self._run_pair_no_am(rng, chain, D)
+        assert sharded.one_mode == "emit_env"
+        assert sharded.one_kernel.emit_env
+
+    def test_emit_env_attack_parity(self, rng):
+        """emit_env + nonzero attack alphas: the elementwise env completion
+        feeds the XLA cross-shard attack scan — matches in-kernel attack."""
+        from radioframe.core.config import AgcConfig
+
+        agc_modes = (AgcConfig(attack_s=0.002), AgcConfig(attack_s=0.001),
+                     AgcConfig(), AgcConfig(), AgcConfig(attack_s=0.002),
+                     AgcConfig())
+        chain = ChannelizerChain(self._cfg(64, enabled_modes=(0, 1, 3),
+                                           agc_modes=agc_modes))
+        assert chain.agc_bank.alpha.any()
+        sharded = self._run_pair_no_am(rng, chain, 4)
+        assert sharded.one_mode == "emit_env"
+
+    def test_force_general_d1(self, rng):
+        """force_general=True keeps the cross-shard formulation at D=1
+        (the bench/verify hook): both the xla (AM on) and emit_env (AM
+        off) variants still match the unsharded chain."""
+        chain_am = ChannelizerChain(self._cfg(64))
+        self._run_pair(rng, chain_am, 1, force_general=True,
+                       expect_mode="xla")
+        chain_no = ChannelizerChain(self._cfg(64, enabled_modes=(0, 1, 3)))
+        sharded = self._run_pair_no_am(rng, chain_no, 1, force_general=True)
+        assert sharded.one_mode == "emit_env"
+
+    def test_d1_defers_to_unsharded(self, rng):
+        """At D=1 the sharded wrapper runs the unsharded fused chain
+        (full in-kernel AGC; the completion machinery priced 8.6 vs 11.7
+        Gsps on chip) — and hang AGC therefore WORKS at D=1."""
+        from radioframe.core.config import AgcConfig
+
+        chain = ChannelizerChain(self._cfg(64, agc=AgcConfig(hang_s=0.01)))
+        assert chain.agc_in_xla  # hang routes AGC to the dense bank
+        mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
+        sharded = ShardedChannelizer(chain, mesh)
+        assert sharded.one_mode == "defer"
+        # D>1 with hang still raises with the named reason
+        mesh4 = jax.make_mesh((4,), ("dev",), devices=jax.devices()[:4])
+        with pytest.raises(ValueError, match="hang"):
+            ShardedChannelizer(chain, mesh4)
 
     def test_state_tree_matches_unsharded(self, rng):
         """The single-pass sharded state tree is structurally identical to

@@ -61,6 +61,7 @@ TOL = {
     # r5: compiled degenerate M1=1 factorization + sharded-one at D=1
     "channelizer_m128_degenerate": 2e-3,
     "sharded_single_pass_d1": 2e-3,
+    "sharded_emit_env_d1": 2e-3,
     "channelizer_waterfall_db": 5e-2,
 }
 
@@ -262,10 +263,11 @@ def main():
             dft_precision="b3"))
         return dense, pfb_only, full, one_b3
 
-    def _chan_compare(chain_a, chain_b):
+    def _chan_compare(chain_a, chain_b, mode_vals=(0, 1, 2, 3)):
         M = chain_a.cfg.num_channels
         T = 2 * chain_a.min_block
-        mode = jnp.asarray(np.arange(M) % 4, jnp.int32)
+        mode = jnp.asarray(np.array(mode_vals)[np.arange(M) % len(mode_vals)],
+                           jnp.int32)
 
         def run(x1, x2, mode):
             st_a = chain_a.init_state()
@@ -320,12 +322,15 @@ def main():
         """r5 sharded single-pass formulation on a 1-device mesh ON CHIP:
         compiled kernel + shard_map + XLA AGC completion == dense chain
         (the CPU-mesh equality tests run interpret; this is the compiled
-        counterpart the r4 verdict asked every claim to have)."""
+        counterpart the r4 verdict asked every claim to have).
+        force_general keeps the cross-shard formulation compiled here —
+        without it D=1 defers to the unsharded chain (r5)."""
         from radioframe.shard.channelizer import ShardedChannelizer
 
         dense, _, _, one_b3 = _chan_cfgs(64 if on_cpu else 4096)
         mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
-        sch = ShardedChannelizer(one_b3, mesh)
+        sch = ShardedChannelizer(one_b3, mesh, force_general=True)
+        assert sch.one_mode == "xla", sch.one_mode
 
         class _Shim:  # chain-shaped adapter for _chan_compare
             cfg = one_b3.cfg
@@ -335,6 +340,38 @@ def main():
             step = staticmethod(sch.step)
 
         e, s, w = _chan_compare(dense, _Shim)
+        ok_w = w <= TOL["channelizer_waterfall_db"]
+        return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
+
+    def check_sharded_emit_env_d1():
+        """r5 emit_env variant COMPILED on chip (AM statically disabled):
+        the kernel's 5th output (zero-entering release env) + elementwise
+        completion == the dense chain. CPU-mesh tests run interpret; this
+        is the compiled counterpart for the new kernel output path."""
+        from radioframe.pipelines.channelizer import (ChannelizerChain,
+                                                      ChannelizerConfig)
+        from radioframe.shard.channelizer import ShardedChannelizer
+
+        M = 64 if on_cpu else 4096
+        base = dict(fs_in=15_000.0 * M, num_channels=M, emit_spectrum=True,
+                    waterfall_from_pfb=True, waterfall_frame_avg=16,
+                    enabled_modes=(0, 1, 3))
+        dense = ChannelizerChain(ChannelizerConfig(**base))
+        one = ChannelizerChain(ChannelizerConfig(
+            **base, fuse_pfb=True, fuse_demod=True, fuse_single_pass=True,
+            dft_precision="b3"))
+        mesh = jax.make_mesh((1,), ("dev",), devices=jax.devices()[:1])
+        sch = ShardedChannelizer(one, mesh, force_general=True)
+        assert sch.one_mode == "emit_env", sch.one_mode
+
+        class _Shim:
+            cfg = one.cfg
+            min_block = one.min_block
+            pfb = one.pfb
+            init_state = staticmethod(one.init_state)
+            step = staticmethod(sch.step)
+
+        e, s, w = _chan_compare(dense, _Shim, mode_vals=(0, 1, 3))
         ok_w = w <= TOL["channelizer_waterfall_db"]
         return e, s, {"waterfall_db_err": w, "waterfall_pass": bool(ok_w)}
 
@@ -386,6 +423,7 @@ def main():
         ("channelizer_single_pass_b3", check_channelizer_single_pass_b3),
         ("channelizer_m128_degenerate", check_channelizer_m128_degenerate),
         ("sharded_single_pass_d1", check_sharded_single_pass_d1),
+        ("sharded_emit_env_d1", check_sharded_emit_env_d1),
     ]
     dev = str(jax.devices()[0])
     print(f"verify_tpu on {dev} (backend {jax.default_backend()})", flush=True)
