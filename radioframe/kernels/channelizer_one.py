@@ -163,11 +163,17 @@ class FusedChannelizerOne:
         self.apply_agc = bool(apply_agc)
         self.emit_env = bool(emit_env)
         if self.emit_env:
-            assert not self.apply_agc, "emit_env is a demod-only mode"
-            assert demod_op.AM not in en, (
-                "emit_env needs AM statically disabled: the AM DC-block's "
-                "cross-shard audio fixup lands AFTER the in-kernel env "
-                "would have latched |audio| (demod_agc_tile doc)")
+            # real errors, not asserts: these are CORRECTNESS gates (wrong
+            # AGC on AM channels for shards d>0), like the M%128 gate above
+            if self.apply_agc:
+                raise ValueError("emit_env is a demod-only mode "
+                                 "(requires apply_agc=False)")
+            if demod_op.AM in en:
+                raise ValueError(
+                    "emit_env needs AM statically disabled: the AM "
+                    "DC-block's cross-shard audio fixup lands AFTER the "
+                    "in-kernel env would have latched |audio| "
+                    "(demod_agc_tile doc)")
         self.interpret = interpret
 
     def release_ok(self, release_values) -> bool:

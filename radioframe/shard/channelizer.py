@@ -341,7 +341,7 @@ class ShardedChannelizer:
             am_y_fin = None
             env_r, env_fin = sharded_maxdecay_complete(
                 rel, outs[4].T, to_n(a_st["env"]), ax,
-                a_table=chain.agc_bank.release)
+                a_table=chain.agc_bank.release, a_index=mode_n)
         else:
             # --- AM DC-block completion: affine carry chain + rank-1 fixup
             my_in, am_y_fin = affine_carry_chain(
@@ -360,7 +360,7 @@ class ShardedChannelizer:
             mag = jnp.abs(audio_cm)
             env_r, env_fin = sharded_maxdecay_scan(
                 rel, mag, to_n(a_st["env"]), ax,
-                a_table=chain.agc_bank.release)
+                a_table=chain.agc_bank.release, a_index=mode_n)
         if chain.agc_bank.alpha.any():
             env, lpf_fin = sharded_affine_scan(
                 al, (1.0 - al)[:, None] * env_r, to_n(a_st["lpf"]), ax,

@@ -96,7 +96,7 @@ def affine_carry_chain(local_final, A, carry, axis: str = "time"):
 
 
 def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time",
-                          a_table=None):
+                          a_table=None, a_index=None):
     """env[n] = max(a*env[n-1], v[n]) across the full time-sharded block.
 
     a_const: static scalar per-sample decay OR a (C,) per-channel decay
@@ -108,12 +108,14 @@ def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time",
     from (e.g. the per-mode release table) — when the global-rescale bound
     holds for it at this T, the local scan uses the 3-4x-cheaper
     constant-coefficient cummax form (ops/scans.maxdecay_scan_const).
+    ``a_index``: the integer index the coefficients were gathered with
+    (a_const = a_table[a_index]); enables the transcendental-free
+    decay-power build in the completion (decay_pows).
     """
     from radioframe.ops.scans import maxdecay_const_ok, maxdecay_scan_const
 
     C, T = v_local.shape
     ac = jnp.asarray(a_const, v_local.dtype)  # scalar or (C,)
-    apow = ac[..., None] ** (1 + jnp.arange(T, dtype=v_local.dtype))  # (T,) or (C,T)
     zero = jnp.zeros((C,), v_local.dtype)
     if a_table is not None and maxdecay_const_ok(a_table, T):
         a_ch = ac if ac.ndim else jnp.full((C,), ac, v_local.dtype)
@@ -121,43 +123,43 @@ def sharded_maxdecay_scan(a_const, v_local, carry, axis: str = "time",
     else:
         a = jnp.broadcast_to(ac[..., None] if ac.ndim else ac, v_local.shape)
         local_env = maxdecay_scan(a, v_local, zero)  # scan from 0
-    A = ac ** T  # decay over one shard: scalar or (C,)
-    my_in, fin = _carry_chain(local_env[:, -1], A, carry, axis, jnp.maximum)
-    env = jnp.maximum(local_env, my_in[:, None] * apow)
-    return env, fin
+    return sharded_maxdecay_complete(a_const, local_env, carry, axis,
+                                     a_table=a_table, a_index=a_index)
 
 
-def decay_pows(ac, a_table, T: int, dtype=jnp.float32):
-    """(C, T) decay powers ac**(1..T) with NO per-element transcendentals:
-    per-channel ``ac`` is drawn from the small STATIC ``a_table`` (e.g. the
-    per-mode AGC release constants), so one (T,) pow row per distinct value
-    + a masked select replaces the (C, T) pow array's exp/log pass."""
+def decay_pows(idx, a_table, T: int, dtype=jnp.float32):
+    """(C, T) decay powers a_table[idx]**(1..T) with NO per-element
+    transcendentals: the (n_vals, T) pow rows are host-precomputed from the
+    small STATIC table (e.g. the per-mode AGC release constants) and
+    selected by the INTEGER index the caller used to gather its
+    coefficients — bit-exact by construction, no float matching (a
+    float-value match would silently zero any off-table coefficient)."""
     import numpy as np
 
-    vals = sorted({float(v) for v in np.asarray(a_table)})
-    n = 1 + jnp.arange(T, dtype=dtype)
-    out = jnp.zeros(ac.shape + (T,), dtype)
-    for v in vals:
-        out = jnp.where((ac == jnp.asarray(v, dtype))[..., None],
-                        jnp.asarray(v, dtype) ** n, out)
+    tab = np.asarray(a_table, np.float64)
+    pows = jnp.asarray(tab[:, None] ** (1 + np.arange(T))[None, :], dtype)
+    out = jnp.zeros(idx.shape + (T,), dtype)
+    for k in range(tab.shape[0]):
+        out = jnp.where((idx == k)[..., None], pows[k], out)
     return out
 
 
 def sharded_maxdecay_complete(a_const, local_env, carry, axis: str = "time",
-                              a_table=None):
+                              a_table=None, a_index=None):
     """Complete a ZERO-SEEDED local max-decay envelope across shards.
 
-    Same completion as the tail of ``sharded_maxdecay_scan``, for callers
-    whose local scan already ran elsewhere (the single-pass channelizer
-    kernel computes its release envelope in-kernel; r5 — ROADMAP open-work
-    #4). ``local_env`` (C, T_local) must be the env of the local samples
-    scanned from a ZERO entering carry. ``a_table``: optional static table
-    the coefficients are drawn from, enabling the transcendental-free
-    decay-power build (decay_pows). Returns (env, new_carry)."""
+    The completion tail shared with ``sharded_maxdecay_scan``, exposed for
+    callers whose local scan already ran elsewhere (the single-pass
+    channelizer kernel computes its release envelope in-kernel; r5 —
+    ROADMAP open-work #4). ``local_env`` (C, T_local) must be the env of
+    the local samples scanned from a ZERO entering carry. ``a_table`` +
+    ``a_index``: when the per-channel coefficients were gathered as
+    a_table[a_index], the decay-power array is built transcendental-free
+    from the static table (decay_pows). Returns (env, new_carry)."""
     C, T = local_env.shape
     ac = jnp.asarray(a_const, local_env.dtype)  # scalar or (C,)
-    if a_table is not None and ac.ndim:
-        apow = decay_pows(ac, a_table, T, local_env.dtype)
+    if a_table is not None and a_index is not None and ac.ndim:
+        apow = decay_pows(a_index, a_table, T, local_env.dtype)
     else:
         apow = ac[..., None] ** (1 + jnp.arange(T, dtype=local_env.dtype))
     A = ac ** T

@@ -973,6 +973,39 @@ class TestShardedSinglePass:
         np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=2e-4)
 
 
+class TestEmitEnvChunked:
+    """The MAX_GRID sequential-chunking path with emit_env: env rows
+    concatenate across chunks and the release carry (row 4) chains through
+    st_in — no test/bench config reaches grid > MAX_GRID naturally, so
+    this forces it (r5 review finding)."""
+
+    def test_chunked_emit_env_matches_unchunked(self, rng):
+        from radioframe.kernels.channelizer_one import FusedChannelizerOne
+
+        M, K, F = 64, 8, 64
+        mk = lambda: FusedChannelizerOne(M, K, 15e3, 2500.0, wf_avg=4,
+                                         enabled=(0, 1, 3), interpret=True,
+                                         apply_agc=False, emit_env=True)
+        a, b = mk(), mk()
+        a.max_tf = b.max_tf = 8   # TF=8 -> grid=8 at F=64
+        a.MAX_GRID = 2            # a chunks (4 sequential calls); b doesn't
+        T = F * M
+        wr = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+        wi = jnp.asarray(rng.standard_normal(T).astype(np.float32))
+        mode = jnp.asarray(np.array([0, 1, 3])[np.arange(M) % 3], jnp.int32)
+        args = (mode, jnp.full((M,), 1234567, jnp.int32),
+                jnp.zeros((M,), jnp.int32), jnp.full((M,), 0.99, jnp.float32),
+                jnp.zeros((M,), jnp.float32), jnp.full((M,), 0.5, jnp.float32),
+                jnp.full((M,), 1e4, jnp.float32), jnp.zeros((7, M), jnp.float32))
+        outs_a = a.call_planes(a.init_tail(), wr, wi, *args)
+        outs_b = b.call_planes(b.init_tail(), wr, wi, *args)
+        assert len(outs_a) == len(outs_b) == 5
+        for name, xa, xb in zip(("audio", "power", "wf", "st", "env"),
+                                outs_a, outs_b):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       atol=1e-6, err_msg=name)
+
+
 class TestCompiledLaneGate:
     """Compiled (non-interpret) fused kernels require num_channels % 128
     == 0 — smaller M lowers to lane-merging relayouts Mosaic rejects,
