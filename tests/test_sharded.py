@@ -162,3 +162,39 @@ def test_sharded_with_fighters_and_ema_spectrum():
     np.testing.assert_allclose(np.asarray(got_st["nb"]), np.asarray(ref_st["nb"]), rtol=5e-3)
     dsp = np.abs(np.asarray(got_st["spec"]) - np.asarray(ref_st["spec"]))
     assert np.mean(dsp > 0.06) < 0.01 and dsp.max() < 1.0
+
+
+def test_comm_model_pod_trade():
+    """tools/comm_model.py derives each pod-channelizer formulation's
+    cross-shard bytes from the traced jaxpr. Pin the structural claims the
+    ROADMAP makes: the single-pass forms issue NO all_to_all, their
+    communication is CONSTANT in block length (halo + O(D*M) vectors),
+    and the two-kernel form's all_to_all grows linearly with the block."""
+    import importlib.util
+    import pathlib
+
+    p = pathlib.Path(__file__).resolve().parents[1] / "tools" / "comm_model.py"
+    spec = importlib.util.spec_from_file_location("comm_model", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    short = mod.analyze(4, 64, blocks_of_min=1)
+    long = mod.analyze(4, 64, blocks_of_min=8)
+    by_name_s = {r[0]: r for r in short}
+    by_name_l = {r[0]: r for r in long}
+    assert set(by_name_s) == set(by_name_l) and len(by_name_s) == 3
+
+    for name in by_name_s:
+        prims_s = by_name_s[name][2]
+        if "single-pass" in name:
+            assert "all_to_all" not in prims_s, (name, prims_s)
+            # constant in block length
+            assert by_name_s[name][3] == by_name_l[name][3], name
+        else:
+            assert "all_to_all" in prims_s, (name, prims_s)
+            # all_to_all operand scales with the 8x block
+            assert (by_name_l[name][2]["all_to_all"]
+                    == 8 * prims_s["all_to_all"]), name
+    # at the long block, single-pass moves far fewer wire bytes
+    assert by_name_l["single-pass xla (AM on)"][3] < \
+        0.5 * by_name_l["two-kernel (all_to_all)"][3]
