@@ -459,8 +459,22 @@ class ShardedChannelizer:
             # D == 1: the unsharded fused chain IS the optimal program —
             # every cross-shard carry equals the block-entering state, so
             # the completion machinery would be pure overhead (measured
-            # 8.6 vs 11.7 Gsps at D=1, r5 ROADMAP open-work #4)
-            return self.chain.step(state, wideband, mode)
+            # 8.6 vs 11.7 Gsps at D=1, r5 ROADMAP open-work #4). The chain
+            # runs inside a trivially-replicated shard_map: state placed
+            # via place_state carries the mesh's EXPLICIT sharding types,
+            # which sharding-oblivious chain code must not see (mixing
+            # typed and untyped arrays is a type error — caught by the
+            # Monitor D=1 CPU-mesh test); manual mode strips them and at
+            # D=1 replicated specs move nothing.
+            rep = lambda tree: jax.tree.map(
+                lambda l: P(*([None] * l.ndim)), tree)
+            out_shapes = jax.eval_shape(self.chain.step, state, wideband,
+                                        mode)
+            fn = jax.shard_map(
+                self.chain.step, mesh=self.mesh,
+                in_specs=(rep(state), P(None), P(None)),
+                out_specs=rep(out_shapes), check_vma=False)
+            return fn(state, wideband, mode)
         if self.one_kernel is not None:
             return self._step_one(state, wideband, mode)
         ax = self.axis

@@ -171,6 +171,36 @@ class TestMonitorApi:
         audio = mon.process(wide)
         assert audio.shape == (M, T // M)
 
+    def test_monitor_sharded_single_pass(self):
+        """Monitor + mesh + fuse_single_pass: D=1 defers to the unsharded
+        chain, D=4 runs the time-sharded single-pass formulation — both
+        match the dense Monitor's audio (r5 API integration of the tiered
+        dispatch in shard/channelizer.py)."""
+        import jax
+
+        from radioframe.api.monitor import Monitor
+        from radioframe.core import presets
+        from radioframe.shard.channelizer import ShardedChannelizer
+
+        M = 64
+        cfg = presets.channelizer_61m44(M, fs_in=M * 15_000.0,
+                                        waterfall_frame_avg=4)
+        assert cfg.fuse_single_pass
+        ref = Monitor(cfg)
+        ref.set_mode_all("cw")
+        rng = np.random.default_rng(3)
+        T = 4 * 2 * ref.chain.min_block
+        wide = (rng.standard_normal(T)
+                + 1j * rng.standard_normal(T)).astype(np.complex64)
+        a_ref = ref.process(wide)
+        for D, want_mode in ((1, "defer"), (4, "xla")):
+            mesh = jax.make_mesh((D,), ("dev",), devices=jax.devices()[:D])
+            mon = Monitor(cfg, mesh=mesh)
+            assert isinstance(mon._impl, ShardedChannelizer)
+            assert mon._impl.one_mode == want_mode
+            mon.set_mode_all("cw")
+            np.testing.assert_allclose(mon.process(wide), a_ref, atol=2e-4)
+
     def test_cli_monitor(self, tmp_path):
         from radioframe.cli import main
         from radioframe.io.wav import write_wav
