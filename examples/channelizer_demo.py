@@ -66,20 +66,23 @@ def main():
     rng = np.random.default_rng(0)
 
     wide = 0.02 * (rng.standard_normal(T) + 1j * rng.standard_normal(T))
-    # AM on channel 10, FM tone on channel 25, CW keying on channel 40
+    # AM / FM / CW signals on three channels, scaled to the channel count
+    # (fixed indices broke --channels below 41 — caught by the examples
+    # drift-guard test)
+    ch_am, ch_fm, ch_cw = M // 6, M * 2 // 5, M * 5 // 8
     tt = np.arange(F) / fs_ch
     am = (1 + 0.8 * np.sin(2 * np.pi * 800.0 * tt)).astype(np.complex128)
-    wide += np.repeat(am, M) * np.exp(2j * np.pi * (10 * fs_ch) * t) * 0.5
+    wide += np.repeat(am, M) * np.exp(2j * np.pi * (ch_am * fs_ch) * t) * 0.5
     fm_phase = 2 * np.pi * 2500.0 / fs_ch * np.cumsum(0.7 * np.sin(2 * np.pi * 400.0 * tt))
-    wide += np.repeat(np.exp(1j * fm_phase), M) * np.exp(2j * np.pi * (25 * fs_ch) * t) * 0.5
+    wide += np.repeat(np.exp(1j * fm_phase), M) * np.exp(2j * np.pi * (ch_fm * fs_ch) * t) * 0.5
     key = (np.sin(2 * np.pi * 2.0 * tt) > 0).astype(np.float64)
-    wide += np.repeat(key, M) * np.exp(2j * np.pi * (40 * fs_ch) * t) * 0.4
+    wide += np.repeat(key, M) * np.exp(2j * np.pi * (ch_cw * fs_ch) * t) * 0.4
     wide = wide.astype(np.complex64)
 
     mode = np.full(M, demod_op.SSB, np.int32)
-    mode[10] = demod_op.AM
-    mode[25] = demod_op.NFM
-    mode[40] = demod_op.CW
+    mode[ch_am] = demod_op.AM
+    mode[ch_fm] = demod_op.NFM
+    mode[ch_cw] = demod_op.CW
     st = chain.init_state()
     st, audio, aux = jax.jit(chain.step)(st, jnp.asarray(wide), jnp.asarray(mode))
     audio = np.asarray(audio)
@@ -94,14 +97,15 @@ def main():
     ax1.set_title(f"wideband waterfall ({fs/1e6:.2f} Msps, {M} channels)")
     ax2.bar(np.arange(M), cp, width=0.9)
     ax2.set_xlabel("channel"); ax2.set_ylabel("power (dB)")
-    for ch, name in [(10, "AM"), (25, "NFM"), (40, "CW")]:
+    for ch, name in [(ch_am, "AM"), (ch_fm, "NFM"), (ch_cw, "CW")]:
         ax2.annotate(name, (ch, cp[ch]), textcoords="offset points", xytext=(0, 5),
                      ha="center")
     fig.tight_layout()
     fig.savefig(args.out, dpi=110)
     print(f"waterfall -> {args.out}")
-    print(f"channel powers (dB): AM ch10 {cp[10]:.1f}, NFM ch25 {cp[25]:.1f}, "
-          f"CW ch40 {cp[40]:.1f}, noise floor {np.median(cp):.1f}")
+    print(f"channel powers (dB): AM ch{ch_am} {cp[ch_am]:.1f}, "
+          f"NFM ch{ch_fm} {cp[ch_fm]:.1f}, "
+          f"CW ch{ch_cw} {cp[ch_cw]:.1f}, noise floor {np.median(cp):.1f}")
     # the demodulated audio exists for every channel:
     print(f"audio matrix: {audio.shape} (channels x samples @ {fs_ch/1e3:.0f} kHz)")
 

@@ -48,10 +48,21 @@ def main():
     for f in files:
         name = os.path.basename(f)
         counts, dt, tail = run_file(f, sys.argv[1:])
+        retried = False
+        if counts["failed"] or counts["errors"]:
+            # one retry: tunnel contention / timing-sensitive tests flake
+            # under the shared box; a PERSISTENT failure still fails, and
+            # the artifact records that a retry happened
+            counts2, dt2, tail = run_file(f, sys.argv[1:])
+            retried, counts, dt = True, counts2, round(dt + dt2, 1)
         per_file[name] = {**counts, "seconds": dt}
+        if retried:
+            per_file[name]["retried"] = True
         for k in totals:
             totals[k] += counts[k]
         flag = "" if not (counts["failed"] or counts["errors"]) else "  <-- "
+        if retried and not flag:
+            flag = "  (passed on retry)"
         print(f"{name:28s} {counts['passed']:4d} passed "
               f"{counts['failed']:3d} failed {counts['skipped']:3d} skipped "
               f"({dt:6.1f}s){flag}", flush=True)
