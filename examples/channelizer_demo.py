@@ -38,6 +38,9 @@ def main():
     from radioframe.pipelines.channelizer import ChannelizerChain, ChannelizerConfig
 
     M = args.channels
+    if M < 8:
+        ap.error(f"--channels {M}: need >= 8 (the demo places AM/NFM/CW "
+                 "signals on three distinct channels)")
     fs_ch = 48_000.0
     # the flagship config-5 shape: fully kernelized (single-pass Pallas
     # kernel on TPU, interpret-mode on CPU) with the waterfall derived from

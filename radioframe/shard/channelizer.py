@@ -465,15 +465,12 @@ class ShardedChannelizer:
             # which sharding-oblivious chain code must not see (mixing
             # typed and untyped arrays is a type error — caught by the
             # Monitor D=1 CPU-mesh test); manual mode strips them and at
-            # D=1 replicated specs move nothing.
-            rep = lambda tree: jax.tree.map(
-                lambda l: P(*([None] * l.ndim)), tree)
-            out_shapes = jax.eval_shape(self.chain.step, state, wideband,
-                                        mode)
-            fn = jax.shard_map(
-                self.chain.step, mesh=self.mesh,
-                in_specs=(rep(state), P(None), P(None)),
-                out_specs=rep(out_shapes), check_vma=False)
+            # D=1 replicated specs move nothing. P() is a pytree-prefix
+            # spec (rank-agnostic fully-replicated) — no per-leaf spec
+            # tree, no extra eval_shape trace of the chain.
+            fn = jax.shard_map(self.chain.step, mesh=self.mesh,
+                               in_specs=(P(), P(), P()), out_specs=P(),
+                               check_vma=False)
             return fn(state, wideband, mode)
         if self.one_kernel is not None:
             return self._step_one(state, wideband, mode)

@@ -198,14 +198,3 @@ def test_comm_model_pod_trade():
     # at the long block, single-pass moves far fewer wire bytes
     assert by_name_l["single-pass xla (AM on)"][3] < \
         0.5 * by_name_l["two-kernel (all_to_all)"][3]
-
-
-def test_decay_pows_matches_pow():
-    """halo.decay_pows: index-selected static pow rows == direct pow."""
-    from radioframe.shard.halo import decay_pows
-
-    table = np.array([0.99, 0.5, 0.9], np.float32)
-    idx = np.array([0, 1, 2, 1, 0])
-    got = np.asarray(decay_pows(jnp.asarray(idx, jnp.int32), table, 16))
-    want = table[idx][:, None] ** (1.0 + np.arange(16))
-    np.testing.assert_allclose(got, want, rtol=2e-6)

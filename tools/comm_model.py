@@ -54,20 +54,40 @@ def _wire_factor(prim: str, D: int) -> float:
             "psum": 2.0 * (D - 1) / D}[prim]
 
 
-def _walk(jaxpr, out):
+def _walk(jaxpr, out, trip: int = 1):
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
         if name in COLLECTIVES:
             bytes_in = sum(int(np.prod(v.aval.shape)) * v.aval.dtype.itemsize
                            for v in eqn.invars if hasattr(v, "aval"))
-            out[name] = out.get(name, 0) + bytes_in
+            out[name] = out.get(name, 0) + trip * bytes_in
+        # a collective inside a loop body fires once per iteration: bill
+        # scan bodies by their static length; while_loop trip counts are
+        # unknowable statically, so refuse rather than under-count
+        sub_trip = trip
+        if name == "scan":
+            sub_trip = trip * int(eqn.params.get("length", 1))
+        elif name == "while":
+            for sub in jax.core.jaxprs_in_params(eqn.params):
+                probe = _walk(sub, {}, 1)
+                if probe:
+                    raise ValueError(
+                        "collective inside lax.while_loop: trip count is "
+                        f"not static, cannot bill {sorted(probe)} bytes")
         for sub in jax.core.jaxprs_in_params(eqn.params):
-            _walk(sub, out)
+            _walk(sub, out, sub_trip)
     return out
 
 
 def collective_bytes(fn, *args):
-    """Trace fn(*args) and return {primitive: operand bytes} summed."""
+    """Trace fn(*args) and return {primitive: operand bytes} summed.
+
+    CAVEAT: this bills the collectives present in the TRACED program
+    (scan bodies multiplied by their static length). Communication the
+    SPMD partitioner inserts later for ops OUTSIDE shard_map — e.g. the
+    global fftshift jnp.roll applied to the channel-sharded waterfall in
+    the two-kernel form — is not visible here; those are O(waterfall)
+    bytes, second-order next to the full-rate terms above."""
     jaxpr = jax.make_jaxpr(fn)(*args)
     return _walk(jaxpr.jaxpr, {})
 
