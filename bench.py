@@ -107,7 +107,8 @@ def bench_channelizer():
     polyphase + CT MXU DFT (manual bf16x3, TF-batched full-lane
     orientation) + demod bank + AGC + waterfall power in one VMEM pass
     (kernels/channelizer_one.py); the channel planes never touch HBM and
-    the panorama rides the pass already paid. 7.67 -> 11.28 Gsps in r5.
+    the panorama rides the pass already paid. 7.67 -> 11.7 Gsps in r5
+    (batched-MXU DFT orientation + 32 MB VMEM limit).
     iters=128: the ~25 ms axon round trip is per DISPATCH (not per
     iteration; tools/probe_floor.py), so 128 in-loop blocks cut the floor
     from 0.78 to 0.2 ms/block."""

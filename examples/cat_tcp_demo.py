@@ -64,7 +64,12 @@ def main():
         ask("IF;")                      # status shows TX
         ask("RX;")
         stop.set()
-        th.join(timeout=5)
+        # join WITHOUT a timeout: the loop exits after its current block,
+        # but one block step can exceed any fixed timeout on a loaded
+        # host — exiting the interpreter while the thread is mid-jax-call
+        # aborts in native teardown (caught by the examples drift guard
+        # under a full parallel --runslow load)
+        th.join()
         cli.close()
     print("done — retune/mode/PTT all happened mid-stream, zero recompiles:",
           trx._step._cache_size() == 1)
